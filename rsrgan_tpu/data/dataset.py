@@ -1,0 +1,232 @@
+"""Batch iterators: length-bucketed padded sequence batches and shuffled
+frame batches.
+
+TPU-first redesign of the reference's two input pipelines
+(io_funcs/tfrecords_dataset.py:53-293, tfrecords_io.py:47-255):
+
+* Sequence batches reproduce the bucketing rule of
+  tfrecords_dataset.py:157-171 (bucket key = (len-200)//50, grouped into
+  windows of batch_size) but pad each batch UP TO THE BUCKET EDGE instead of
+  to the batch max, so every bucket maps to one static [B, T_pad, D] shape —
+  a small, fixed set of XLA compilations instead of a recompile per batch.
+* Frame batches replace the RandomShuffleQueue frame pipeline
+  (tfrecords_io.py:206-255): utterances are spliced then frames are drawn
+  via a shuffled global index.
+* Batch counts are computed from the store index (the reference instead ran
+  the whole pipeline to OutOfRange once per config and cached the count,
+  scripts/train_gan_rnn_placeholder.py:305-385).
+"""
+
+from __future__ import annotations
+
+import queue as queue_mod
+import threading
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from rsrgan_tpu.data.splice import splice_frames_np
+from rsrgan_tpu.data.store import UtteranceStore
+
+BUCKET_START = 200   # tfrecords_dataset.py:164
+BUCKET_WIDTH = 50    # tfrecords_dataset.py:165
+NUM_BUCKETS = 20     # tfrecords_dataset.py:55
+
+
+def bucket_id(length: int, num_buckets: int = NUM_BUCKETS) -> int:
+    """Bucket key from tfrecords_dataset.py:158-167 (negatives allowed)."""
+    return min(num_buckets, (length - BUCKET_START) // BUCKET_WIDTH)
+
+
+def padded_length(bucket: int, max_len: int,
+                  num_buckets: int = NUM_BUCKETS) -> int:
+    """Static padded length for a bucket.
+
+    Regular buckets pad to the bucket's upper edge. The overflow bucket pads
+    to max_len rounded up to a 128-frame boundary (rare, bounded recompiles).
+    """
+    if bucket >= num_buckets:
+        return -(-max_len // 128) * 128
+    return BUCKET_START + BUCKET_WIDTH * (bucket + 1)
+
+
+@dataclass
+class SequenceBatch:
+    utt_ids: List[str]
+    inputs: np.ndarray   # [B, T_pad, D * (left+1+right)] float32
+    labels: Optional[np.ndarray]  # [B, T_pad, out] float32 or None
+    lengths: np.ndarray  # [B] int32 (true lengths before padding)
+
+
+class SequenceBatcher:
+    """Length-bucketed padded utterance batches (get_padded_batch parity).
+
+    One epoch: shuffle utterances, assign to buckets in shuffled order, emit
+    a batch whenever a bucket holds ``batch_size`` utterances. Leftover
+    partial buckets are dropped when drop_remainder=True, matching the
+    training loop's skip of ragged batches
+    (scripts/train_gan_rnn_placeholder.py:69-70).
+    """
+
+    def __init__(self, store: UtteranceStore, batch_size: int,
+                 left_context: int = 0, right_context: int = 0,
+                 num_buckets: int = NUM_BUCKETS, shuffle: bool = True,
+                 drop_remainder: bool = True, seed: int = 777):
+        self.store = store
+        self.batch_size = batch_size
+        self.left_context = left_context
+        self.right_context = right_context
+        self.num_buckets = num_buckets
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        self._lengths = store.lengths
+
+    def num_batches(self) -> int:
+        """Exact number of full batches per epoch, computed from the index."""
+        counts: Dict[int, int] = {}
+        for length in self._lengths:
+            b = bucket_id(int(length), self.num_buckets)
+            counts[b] = counts.get(b, 0) + 1
+        if self.drop_remainder:
+            return sum(c // self.batch_size for c in counts.values())
+        return sum(-(-c // self.batch_size) for c in counts.values())
+
+    def _make_batch(self, indices: List[int]) -> SequenceBatch:
+        lengths = np.array([self._lengths[i] for i in indices], dtype=np.int32)
+        bucket = bucket_id(int(lengths.max()), self.num_buckets)
+        t_pad = padded_length(bucket, int(lengths.max()), self.num_buckets)
+        splice = self.left_context + 1 + self.right_context
+        in_dim = self.store.input_dim * splice
+        inputs = np.zeros((len(indices), t_pad, in_dim), dtype=np.float32)
+        out_dim = self.store.output_dim
+        labels = (np.zeros((len(indices), t_pad, out_dim), dtype=np.float32)
+                  if self.store.has_labels else None)
+        utt_ids = []
+        for row, i in enumerate(indices):
+            utt_ids.append(self.store.utt_ids[i])
+            feats = splice_frames_np(self.store.inputs(i),
+                                     self.left_context, self.right_context)
+            inputs[row, :feats.shape[0]] = feats
+            if labels is not None:
+                lab = self.store.labels(i)
+                labels[row, :lab.shape[0]] = lab
+        return SequenceBatch(utt_ids, inputs, labels, lengths)
+
+    def __iter__(self) -> Iterator[SequenceBatch]:
+        order = np.arange(len(self.store))
+        if self.shuffle:
+            self._rng.shuffle(order)
+        pending: Dict[int, List[int]] = {}
+        for i in order:
+            b = bucket_id(int(self._lengths[i]), self.num_buckets)
+            pending.setdefault(b, []).append(int(i))
+            if len(pending[b]) == self.batch_size:
+                yield self._make_batch(pending.pop(b))
+        if not self.drop_remainder:
+            for indices in pending.values():
+                yield self._make_batch(indices)
+
+    def epochs(self, n: int) -> Iterator[SequenceBatch]:
+        for _ in range(n):
+            yield from self
+
+
+class FrameBatcher:
+    """Shuffled frame-level batches for the DNN/RCED family.
+
+    Replaces the RandomShuffleQueue pipeline (tfrecords_io.py:206-255): all
+    utterances are spliced into a flat frame table once (memory-mapped
+    sources, materialized spliced copies), then each epoch draws a fresh
+    permutation. drop_remainder mirrors dequeue_many semantics.
+    """
+
+    def __init__(self, store: UtteranceStore, batch_size: int,
+                 left_context: int = 0, right_context: int = 0,
+                 shuffle: bool = True, drop_remainder: bool = True,
+                 seed: int = 777):
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_remainder = drop_remainder
+        self._rng = np.random.default_rng(seed)
+        ins, labs = [], []
+        for i in range(len(store)):
+            ins.append(splice_frames_np(np.asarray(store.inputs(i)),
+                                        left_context, right_context))
+            if store.has_labels:
+                labs.append(np.asarray(store.labels(i)))
+        self.inputs = np.concatenate(ins, axis=0).astype(np.float32)
+        self.labels = (np.concatenate(labs, axis=0).astype(np.float32)
+                       if labs else None)
+
+    @property
+    def num_frames(self) -> int:
+        return self.inputs.shape[0]
+
+    def num_batches(self) -> int:
+        if self.drop_remainder:
+            return self.num_frames // self.batch_size
+        return -(-self.num_frames // self.batch_size)
+
+    def __iter__(self):
+        order = np.arange(self.num_frames)
+        if self.shuffle:
+            self._rng.shuffle(order)
+        stop = (self.num_frames - self.num_frames % self.batch_size
+                if self.drop_remainder else self.num_frames)
+        for start in range(0, stop, self.batch_size):
+            sel = order[start:start + self.batch_size]
+            yield (self.inputs[sel],
+                   self.labels[sel] if self.labels is not None else None)
+
+    def epochs(self, n: int):
+        for _ in range(n):
+            yield from self
+
+
+def infer_batches(store: UtteranceStore, left_context: int = 0,
+                  right_context: int = 0,
+                  pad_to_multiple: int = 128) -> Iterator[SequenceBatch]:
+    """Batch-1 inference iterator (decode path, tfrecords_dataset.py:233-293).
+
+    Pads T to a multiple of ``pad_to_multiple`` so decode reuses a small set
+    of compiled shapes; true length rides along for unpadding before the
+    ark write.
+    """
+    for i in range(len(store)):
+        feats = splice_frames_np(np.asarray(store.inputs(i)),
+                                 left_context, right_context)
+        t = feats.shape[0]
+        t_pad = -(-t // pad_to_multiple) * pad_to_multiple
+        padded = np.zeros((1, t_pad, feats.shape[1]), dtype=np.float32)
+        padded[0, :t] = feats
+        yield SequenceBatch([store.utt_ids[i]], padded, None,
+                            np.array([t], dtype=np.int32))
+
+
+class ThreadedPrefetcher:
+    """Producer-thread + bounded queue, the reference's feeder pattern
+    (scripts/train_gan_rnn_placeholder.py:30-45,463-478) minus feed_dict."""
+
+    _DONE = object()
+
+    def __init__(self, iterator, capacity: int = 32):
+        self._queue: "queue_mod.Queue" = queue_mod.Queue(capacity)
+        self._thread = threading.Thread(
+            target=self._run, args=(iterator,), daemon=True)
+        self._thread.start()
+
+    def _run(self, iterator):
+        try:
+            for item in iterator:
+                self._queue.put(item)
+        finally:
+            self._queue.put(self._DONE)
+
+    def __iter__(self):
+        while True:
+            item = self._queue.get()
+            if item is self._DONE:
+                return
+            yield item

@@ -1,0 +1,246 @@
+"""Kaldi binary ark/scp codec.
+
+Re-implements (vectorized, Python 3) the reader/writer the reference carries
+at io_funcs/kaldi_io.py:24-283:
+
+* float / double binary matrices  ("\0BFM "/"\0BDM ")
+* compressed matrices, format 1   ("\0BCM " -- GlobalHeader + per-column
+  percentile headers + uint8 payload, column-major), cf. kaldi_io.py:121-161.
+  The reference dequantizes with a per-element Python loop (its known
+  data-prep bottleneck, SURVEY.md section 2.8); here the whole payload is
+  decoded with numpy piecewise arithmetic. An optional C++ fast path lives in
+  rsrgan_tpu/native (used automatically when built).
+
+Writer emits standard Kaldi binary float matrices. NOTE: the reference
+writer (kaldi_io.py:260-278) omits the space between the utterance id and
+the "\0B" binary marker, which makes its arks readable only through .scp
+offsets. We write the space like real Kaldi does, so output arks are
+readable both sequentially and via scp; the scp offset (pointing at "\0B")
+and everything after it are byte-identical to the reference's layout.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # optional native fast path (rsrgan_tpu/native/ark_codec.cc)
+    from rsrgan_tpu.native import ark_native as _native
+except Exception:  # pragma: no cover - native lib absent
+    _native = None
+
+
+class ArkFormatError(ValueError):
+    """Raised when an ark payload does not match the expected binary format."""
+
+
+# ---------------------------------------------------------------------------
+# scp handling
+# ---------------------------------------------------------------------------
+
+def parse_scp_line(line: str) -> Tuple[str, str, int]:
+    """Parse one scp line ``utt path:offset`` -> (utt_id, path, offset)."""
+    utt_id, path_pos = line.strip().split(None, 1)
+    if ":" in path_pos:
+        path, pos = path_pos.rsplit(":", 1)
+        return utt_id, path, int(pos)
+    return utt_id, path_pos, 0
+
+
+def read_scp(scp_path: str) -> List[Tuple[str, str, int]]:
+    """Read a .scp file into a list of (utt_id, ark_path, offset)."""
+    entries = []
+    with open(scp_path, "r") as fin:
+        for line in fin:
+            line = line.strip()
+            if line:
+                entries.append(parse_scp_line(line))
+    return entries
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+_GLOBAL_HEADER = struct.Struct("<ffii")  # min_value, range, num_rows, num_cols
+
+
+def _decode_compressed(payload: bytes, min_value: float, value_range: float,
+                       num_rows: int, num_cols: int) -> np.ndarray:
+    """Vectorized decode of Kaldi CompressedMatrix format 1 ("BCM ").
+
+    Layout (kaldi_io.py:138-161): ``num_cols`` per-column headers of four
+    uint16 percentiles, then the uint8 payload stored column-major.
+    """
+    head_bytes = num_cols * 8
+    headers = np.frombuffer(payload, dtype="<u2", count=num_cols * 4)
+    headers = headers.reshape(num_cols, 4).astype(np.float64)
+    # uint16 -> float: min + range * v / 65535        (kaldi_io.py:121-126)
+    perc = min_value + value_range * (1.0 / 65535.0) * headers
+    p0, p25, p75, p100 = perc[:, 0], perc[:, 1], perc[:, 2], perc[:, 3]
+
+    data = np.frombuffer(payload, dtype=np.uint8, offset=head_bytes,
+                         count=num_rows * num_cols)
+    v = data.reshape(num_cols, num_rows).astype(np.float64)
+
+    # char -> float, piecewise linear over [0,64], (64,192], (192,255]
+    # (kaldi_io.py:128-136)
+    lo = p0[:, None] + (p25 - p0)[:, None] * v * (1.0 / 64.0)
+    mid = p25[:, None] + (p75 - p25)[:, None] * (v - 64.0) * (1.0 / 128.0)
+    hi = p75[:, None] + (p100 - p75)[:, None] * (v - 192.0) * (1.0 / 63.0)
+    out = np.where(v < 64, lo, np.where(v <= 192, mid, hi))
+    return np.ascontiguousarray(out.T)  # column-major payload -> [rows, cols]
+
+
+def read_matrix(buf, dtype_hint: Optional[str] = None) -> np.ndarray:
+    """Read one binary Kaldi matrix from a file object positioned at "\0B"."""
+    header = buf.read(5)
+    if len(header) < 5 or header[1:2] != b"B":
+        raise ArkFormatError("not a Kaldi binary matrix (missing \\0B header)")
+    kind = header[2:5]
+    if kind[:1] == b"C":
+        if kind != b"CM " and kind[:2] != b"CM":
+            raise ArkFormatError(f"unsupported compressed format {kind!r}")
+        if kind[2:3] == b"2":
+            raise ArkFormatError("CM2 (one-byte-per-element) not supported")
+        min_value, value_range, rows, cols = _GLOBAL_HEADER.unpack(
+            buf.read(_GLOBAL_HEADER.size))
+        if cols == 0:
+            raise ArkFormatError("empty compressed matrix")
+        payload = buf.read(cols * 8 + rows * cols)
+        if _native is not None:
+            return _native.decode_compressed(payload, min_value, value_range,
+                                             rows, cols)
+        return _decode_compressed(payload, min_value, value_range, rows, cols)
+
+    _, rows = struct.unpack("<bi", buf.read(5))
+    _, cols = struct.unpack("<bi", buf.read(5))
+    if kind[:1] == b"F":
+        mat = np.frombuffer(buf.read(rows * cols * 4), dtype="<f4")
+    elif kind[:1] == b"D":
+        mat = np.frombuffer(buf.read(rows * cols * 8), dtype="<f8")
+    else:
+        raise ArkFormatError(f"unsupported matrix kind {kind!r}")
+    return mat.reshape(rows, cols)
+
+
+def read_ark_matrix(ark_path: str, offset: int = 0) -> np.ndarray:
+    """Read the matrix stored at ``offset`` in ``ark_path``.
+
+    Mirrors ArkReader.read_ark (kaldi_io.py:81-119) including compressed-ark
+    support, but decodes with numpy instead of per-element struct calls.
+    """
+    with open(ark_path, "rb") as f:
+        f.seek(int(offset))
+        return read_matrix(f)
+
+
+def iter_ark(ark_path: str) -> Iterator[Tuple[str, np.ndarray]]:
+    """Sequentially iterate (utt_id, matrix) pairs of a standard Kaldi ark.
+
+    Requires the Kaldi-conformant layout ``utt_id + ' ' + '\\0B...'`` (which
+    this module's writer produces; the reference's writer output is only
+    readable via scp, see module docstring).
+    """
+    size = os.path.getsize(ark_path)
+    with open(ark_path, "rb") as f:
+        while f.tell() < size:
+            key_bytes = bytearray()
+            while True:
+                ch = f.read(1)
+                if not ch:
+                    return
+                if ch == b" ":
+                    break
+                key_bytes.extend(ch)
+            yield key_bytes.decode("utf-8"), read_matrix(f)
+
+
+class ScpReader:
+    """Random/sequential access over an scp index (ArkReader equivalent)."""
+
+    def __init__(self, scp_path: str):
+        self.entries = read_scp(scp_path)
+        self._by_id = {u: (p, o) for u, p, o in self.entries}
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    @property
+    def utt_ids(self) -> List[str]:
+        return [u for u, _, _ in self.entries]
+
+    def read_utt(self, utt_id: str) -> np.ndarray:
+        path, offset = self._by_id[utt_id]
+        return read_ark_matrix(path, offset)
+
+    def read_index(self, index: int) -> Tuple[str, np.ndarray]:
+        utt_id, path, offset = self.entries[index]
+        return utt_id, read_ark_matrix(path, offset)
+
+    def __iter__(self) -> Iterator[Tuple[str, np.ndarray]]:
+        for i in range(len(self.entries)):
+            yield self.read_index(i)
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+class ArkWriter:
+    """Write float32 matrices to .ark with a paired .scp (kaldi_io.py:244-283).
+
+    Unlike the reference we keep the ark file handle open across writes and
+    emit the Kaldi-standard space between utt id and binary marker.
+    """
+
+    def __init__(self, scp_path: str):
+        self.scp_path = scp_path
+        self._scp = open(scp_path, "w")
+        self._arks = {}
+
+    def write_next_utt(self, ark_path: str, utt_id: str,
+                       utt_mat: np.ndarray) -> None:
+        mat = np.ascontiguousarray(utt_mat, dtype="<f4")
+        if mat.ndim != 2:
+            raise ValueError(f"expected a 2-D matrix, got shape {mat.shape}")
+        rows, cols = mat.shape
+        ark = self._arks.get(ark_path)
+        if ark is None:
+            ark = open(ark_path, "ab")
+            self._arks[ark_path] = ark
+        ark.write(utt_id.encode("utf-8") + b" ")
+        pos = ark.tell()
+        ark.write(b"\0BFM ")
+        ark.write(struct.pack("<bi", 4, rows))
+        ark.write(struct.pack("<bi", 4, cols))
+        ark.write(mat.tobytes())
+        ark.flush()
+        self._scp.write(f"{utt_id} {ark_path}:{pos}\n")
+        self._scp.flush()
+
+    def close(self) -> None:
+        for ark in self._arks.values():
+            ark.close()
+        self._arks.clear()
+        self._scp.close()
+
+    def __enter__(self) -> "ArkWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def write_matrix(buf, mat: np.ndarray) -> None:
+    """Write one "\0BFM " float matrix body (no key) to a file object."""
+    mat = np.ascontiguousarray(mat, dtype="<f4")
+    rows, cols = mat.shape
+    buf.write(b"\0BFM ")
+    buf.write(struct.pack("<bi", 4, rows))
+    buf.write(struct.pack("<bi", 4, cols))
+    buf.write(mat.tobytes())
