@@ -5,7 +5,10 @@ Must set the env vars before jax is imported anywhere in the test process.
 
 import os
 
+# NOTE: the axon TPU plugin on this machine overrides JAX_PLATFORMS; the
+# legacy JAX_PLATFORM_NAME is honored, set both.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
