@@ -1,0 +1,71 @@
+"""Discriminators: frame DNN-D and sequence LSTM-D.
+
+Flax re-implementations of /root/reference/models/discriminator_dnn.py and
+discriminator_lstm.py. The SEGAN conv discriminator lives in
+rsrgan_tpu/models/segan.py.
+"""
+
+from __future__ import annotations
+
+from math import sqrt
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rsrgan_tpu.ops.common import gaussian_noise
+from rsrgan_tpu.ops.lstm import StackedLstm
+
+_GLOROT = nn.initializers.glorot_uniform()
+
+
+class DnnDiscriminator(nn.Module):
+    """discriminator_dnn.py:21-98 — 4x1024 ReLU (He-ish truncated-normal
+    init), linear 1-unit out clipped to [-0.5, 1.5]."""
+
+    units: int = 1024
+    hidden_layers: int = 3
+    keep_prob: float = 1.0
+    clip_output: bool = True
+
+    @nn.compact
+    def __call__(self, inputs, train: bool = False):
+        relu_init = nn.initializers.truncated_normal(
+            stddev=sqrt(2.0 / self.units))
+        h = inputs
+        for _ in range(1 + self.hidden_layers):
+            h = nn.relu(nn.Dense(self.units, kernel_init=relu_init)(h))
+            if train and self.keep_prob < 1.0:
+                h = nn.Dropout(rate=1.0 - self.keep_prob,
+                               deterministic=False)(h)
+        y = nn.Dense(1, kernel_init=_GLOROT)(h)
+        if self.clip_output:
+            y = jnp.clip(y, -0.5, 1.5)  # discriminator_dnn.py:93
+        return y
+
+
+class LstmDiscriminator(nn.Module):
+    """discriminator_lstm.py:24-110 — annealed gaussian input noise, 2x
+    LSTM(256, proj 40, peepholes), per-timestep linear 1-unit logit.
+
+    ``noise_std`` may be a traced scalar (the exponentially decayed
+    disc_noise_std); noise is applied only when an 'rng' for 'noise' exists
+    and train=True.
+    """
+
+    cell_size: int = 256
+    num_projection: int = 40
+    num_layers: int = 2
+    keep_prob: float = 1.0
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, lengths=None, noise_std=0.0,
+                 train: bool = False):
+        h = inputs
+        if train and self.has_rng("noise"):
+            h = gaussian_noise(self.make_rng("noise"), h, noise_std)
+        h = StackedLstm(self.num_layers, self.cell_size, self.num_projection,
+                        compute_dtype=self.compute_dtype,
+                        dropout_keep_prob=self.keep_prob)(h, lengths, train)
+        return nn.Dense(1, kernel_init=_GLOROT)(h)  # [B, T, 1]

@@ -1,0 +1,119 @@
+"""Recurrent generators: LSTM, BNLSTM, RES_LSTM_{BASE,I,L}.
+
+Flax re-implementations of the reference generator zoo
+(/root/reference/models/lstm.py, bnlstm.py, res_lstm_base.py,
+res_lstm_i.py, res_lstm_l.py). All take batch-major ``[B, T, D]`` features
+plus true lengths and return ``[B, T, output_dim]``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from rsrgan_tpu.ops.bnlstm import BnLstmCell
+from rsrgan_tpu.ops.common import leakyrelu
+from rsrgan_tpu.ops.lstm import LstmCellP, StackedLstm
+
+_GLOROT = nn.initializers.glorot_uniform()
+
+
+class LstmGenerator(nn.Module):
+    """models/lstm.py:41-129 — leakyrelu FC to 280, 3x LSTM(760, proj 280),
+    linear out."""
+
+    output_dim: int
+    cell_size: int = 760
+    num_projection: int = 280
+    num_layers: int = 3
+    keep_prob: float = 1.0
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, lengths=None, train: bool = False):
+        h = nn.Dense(self.num_projection, kernel_init=_GLOROT)(inputs)
+        h = leakyrelu(h)
+        h = StackedLstm(self.num_layers, self.cell_size, self.num_projection,
+                        compute_dtype=self.compute_dtype,
+                        dropout_keep_prob=self.keep_prob)(h, lengths, train)
+        return nn.Dense(self.output_dim, kernel_init=_GLOROT)(h)
+
+
+class BnLstmGenerator(nn.Module):
+    """models/bnlstm.py:38-127 — relu FC to 280, 3x recurrent-BN LSTM cells,
+    linear out."""
+
+    output_dim: int
+    cell_size: int = 760
+    num_projection: int = 280
+    num_layers: int = 3
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, lengths=None, train: bool = False):
+        h = nn.relu(nn.Dense(self.num_projection, kernel_init=_GLOROT)(inputs))
+        for layer in range(self.num_layers):
+            h = BnLstmCell(self.cell_size, self.num_projection,
+                           compute_dtype=self.compute_dtype,
+                           name=f"cell_{layer}")(h, lengths, train)
+        return nn.Dense(self.output_dim, kernel_init=_GLOROT)(h)
+
+
+class ResLstmGenerator(nn.Module):
+    """The residual-LSTM family; ``variant`` selects the wiring:
+
+    * "base": 4 stacked LSTM(760, proj=input_dim), no residual, out from
+      outputs4 (models/res_lstm_base.py:110-196)
+    * "i": 2 layers, input residual — every layer input and the output tap
+      add the ORIGINAL inputs (models/res_lstm_i.py:100-192)
+    * "l" (flagship): 4 layers, layer residual — inputs_{k+1} = outputs_k +
+      inputs_k, out from outputs4 + inputs4 (models/res_lstm_l.py:101-194)
+
+    The projection size equals the input feature dim (257) so residual adds
+    type-check, exactly as the reference requires.
+    """
+
+    output_dim: int
+    variant: str = "l"
+    cell_size: int = 760
+    keep_prob: float = 1.0
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs, lengths=None, train: bool = False):
+        num_proj = inputs.shape[-1]
+        num_layers = 2 if self.variant == "i" else 4
+
+        def cell(idx):
+            return LstmCellP(self.cell_size, num_proj,
+                             compute_dtype=self.compute_dtype,
+                             name=f"lstm_cell_{idx + 1}")
+
+        def dropout(h):
+            if train and self.keep_prob < 1.0:
+                return nn.Dropout(rate=1.0 - self.keep_prob,
+                                  deterministic=False)(h)
+            return h
+
+        if self.variant == "base":
+            h = inputs
+            for k in range(num_layers):
+                h = dropout(cell(k)(h, lengths))
+            tap = h
+        elif self.variant == "i":
+            out1 = dropout(cell(0)(inputs, lengths))
+            out2 = dropout(cell(1)(out1 + inputs, lengths))
+            tap = out2 + inputs
+        elif self.variant == "l":
+            layer_in = inputs
+            for k in range(num_layers):
+                out_k = dropout(cell(k)(layer_in, lengths))
+                tap = out_k + layer_in
+                layer_in = tap
+        else:
+            raise ValueError(f"unknown res_lstm variant {self.variant}")
+
+        return nn.Dense(self.output_dim, kernel_init=_GLOROT,
+                        name="forward_out")(tap)

@@ -5,8 +5,10 @@ Must set the env vars before jax is imported anywhere in the test process.
 
 import os
 
-# NOTE: the axon TPU plugin on this machine overrides JAX_PLATFORMS; the
-# legacy JAX_PLATFORM_NAME is honored, set both.
+# NOTE: the axon TPU plugin on this machine overrides JAX_PLATFORMS, and a
+# pytest plugin imports jax before this conftest runs, so env vars alone are
+# not enough. Backends initialize lazily, so forcing the platform through
+# jax.config here (before any device query) still works.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
@@ -14,6 +16,11 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platform_name", "cpu")
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
