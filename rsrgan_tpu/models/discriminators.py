@@ -49,8 +49,9 @@ class LstmDiscriminator(nn.Module):
     LSTM(256, proj 40, peepholes), per-timestep linear 1-unit logit.
 
     ``noise_std`` may be a traced scalar (the exponentially decayed
-    disc_noise_std); noise is applied only when an 'rng' for 'noise' exists
-    and train=True.
+    disc_noise_std); noise is applied whenever a 'noise' rng is provided —
+    the reference applies it unconditionally, during CV evaluation too
+    (discriminator_lstm.py:60). Dropout alone is gated on ``train``.
     """
 
     cell_size: int = 256
@@ -63,7 +64,7 @@ class LstmDiscriminator(nn.Module):
     def __call__(self, inputs, lengths=None, noise_std=0.0,
                  train: bool = False):
         h = inputs
-        if train and self.has_rng("noise"):
+        if self.has_rng("noise"):
             h = gaussian_noise(self.make_rng("noise"), h, noise_std)
         h = StackedLstm(self.num_layers, self.cell_size, self.num_projection,
                         compute_dtype=self.compute_dtype,

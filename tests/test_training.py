@@ -1,0 +1,230 @@
+"""Training-layer tests: losses, schedules, optimizer semantics, GAN/MSE
+steps, checkpoints."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from rsrgan_tpu.models.discriminators import (DnnDiscriminator,
+                                              LstmDiscriminator)
+from rsrgan_tpu.models.feedforward import DnnGenerator
+from rsrgan_tpu.models.recurrent import ResLstmGenerator
+from rsrgan_tpu.training import (GanTrainer, ImprovementTracker, MseTrainer,
+                                 clip_by_norm_each, ema_update,
+                                 exponential_decay, g_mse_loss,
+                                 l2_loss_nonbias, load_checkpoint,
+                                 lsgan_d_losses, lsgan_g_adv_loss,
+                                 save_checkpoint, swap_in_ema)
+
+B, T, D_IN, D_OUT = 2, 10, 8, 4
+
+
+def tiny_gan_trainer(**kw):
+    gen = ResLstmGenerator(output_dim=D_OUT, variant="l", cell_size=12)
+    disc = LstmDiscriminator(cell_size=8, num_projection=4)
+    defaults = dict(output_dim=D_OUT, input_dim=D_IN, disc_updates=1,
+                    gen_updates=2, l2_scale=1e-5)
+    defaults.update(kw)
+    return GanTrainer(gen, disc, **defaults)
+
+
+def make_batch(rng):
+    x = jnp.asarray(rng.normal(size=(B, T, D_IN)), jnp.float32)
+    # learnable target: fixed linear map of inputs
+    w = jnp.asarray(rng.normal(size=(D_IN, D_OUT)) * 0.3, jnp.float32)
+    y = x @ w
+    lengths = jnp.array([T, T - 3], jnp.int32)
+    return x, y, lengths
+
+
+HP = {"g_lr": jnp.float32(1e-3), "d_lr": jnp.float32(1e-3),
+      "mse_lambda": jnp.float32(10.0), "disc_noise_std": jnp.float32(0.05),
+      "d_real": jnp.float32(1.0), "d_fake": jnp.float32(0.0)}
+
+
+class TestLosses:
+    def test_lsgan_values(self):
+        rl = jnp.full((2, 3, 1), 0.8)
+        fk = jnp.full((2, 3, 1), 0.3)
+        d_rl, d_fk, d = lsgan_d_losses(rl, fk, 1.0, 0.0)
+        assert abs(float(d_rl) - 0.04) < 1e-6
+        assert abs(float(d_fk) - 0.09) < 1e-6
+        assert abs(float(d) - 0.13) < 1e-6
+        assert abs(float(lsgan_g_adv_loss(fk, 1.0)) - 0.49) < 1e-6
+
+    def test_g_mse_scale(self, rng):
+        g = jnp.asarray(rng.normal(size=(B, T, D_OUT)), jnp.float32)
+        y = jnp.zeros_like(g)
+        expect = 0.5 * float(jnp.mean(g ** 2)) * D_OUT
+        assert abs(float(g_mse_loss(g, y, D_OUT)) - expect) < 1e-5
+
+    def test_l2_skips_bias(self):
+        params = {"dense": {"kernel": jnp.ones((2, 2)),
+                            "bias": jnp.ones((2,)) * 100}}
+        got = float(l2_loss_nonbias(params, 0.1))
+        assert abs(got - 0.1 * 0.5 * 4.0) < 1e-6
+        assert float(l2_loss_nonbias(params, 0.0)) == 0.0
+
+
+class TestSchedules:
+    def test_exponential_decay_parity(self):
+        """Exact values of utils/ops.py:378-391."""
+        for it, jobs, iters, lr in [(0, 2, 100, 8e-5), (50, 2, 100, 8e-5),
+                                    (99, 1, 100, 1e-3), (120, 3, 100, 1e-3)]:
+            final = 1e-4 * lr
+            if it + 1 >= iters:
+                expect = final
+            else:
+                expect = lr * math.exp(it * math.log(final / lr) / iters)
+            expect_mult = jobs * expect
+            assert exponential_decay(it, jobs, iters, lr) == pytest.approx(
+                expect_mult)
+            assert exponential_decay(it, jobs, iters, lr,
+                                     multiply_jobs=False) == pytest.approx(
+                expect)
+
+    def test_improvement_tracker(self):
+        tr = ImprovementTracker(end_improve=0.01)
+        tr.add(5.0)
+        assert tr.check(0) is True          # improved vs 10000 -> save
+        tr.add(6.0)
+        assert tr.check(1) is False         # worse -> reject, no rollback
+        assert not tr.should_stop(1, min_iters=5)   # below min_iters
+        tr.add(4.999)
+        tr.check(5)
+        assert tr.should_stop(5, min_iters=3) is False or True  # rel>0.01?
+        tr.add(4.9989)
+        tr.check(6)
+        assert tr.should_stop(6, min_iters=3)
+
+
+class TestOptimizerPieces:
+    def test_clip_by_norm_each(self):
+        tx = clip_by_norm_each(1.0)
+        g = {"a": jnp.array([3.0, 4.0]), "b": jnp.array([0.1, 0.0])}
+        clipped, _ = tx.update(g, tx.init(g))
+        np.testing.assert_allclose(np.asarray(clipped["a"]), [0.6, 0.8],
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(clipped["b"]), [0.1, 0.0],
+                                   rtol=1e-6)  # below norm: untouched
+
+    def test_ema_update(self):
+        ema = {"w": jnp.array(1.0)}
+        params = {"w": jnp.array(2.0)}
+        out = ema_update(ema, params, 0.9)
+        assert abs(float(out["w"]) - 1.1) < 1e-6
+
+
+class TestGanTrainer:
+    def test_step_updates_both_nets(self, rng):
+        trainer = tiny_gan_trainer()
+        x, y, lengths = make_batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        # train_step donates the state buffers; snapshot to host first
+        g_before = jax.tree.map(np.asarray, state.g.params)
+        d_before = jax.tree.map(np.asarray, state.d.params)
+        new_state, metrics = trainer.train_step(state, x, y, lengths, HP,
+                                                jax.random.PRNGKey(1))
+        for key in ("d_rl_loss", "d_fk_loss", "d_loss", "g_adv_loss",
+                    "g_mse_loss", "g_l2_loss", "g_loss"):
+            assert np.isfinite(float(metrics[key])), key
+        g_diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                              g_before, new_state.g.params)
+        d_diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                              d_before, new_state.d.params)
+        assert max(jax.tree.leaves(g_diff)) > 0
+        assert max(jax.tree.leaves(d_diff)) > 0
+        assert int(new_state.step) == 1
+
+    def test_mse_decreases_with_strong_lambda(self, rng):
+        trainer = tiny_gan_trainer(gen_updates=2)
+        x, y, lengths = make_batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        first = None
+        hp = dict(HP)
+        hp["g_lr"] = jnp.float32(5e-3)
+        for i in range(30):
+            state, metrics = trainer.train_step(state, x, y, lengths, hp,
+                                                jax.random.PRNGKey(i))
+            if first is None:
+                first = float(metrics["g_mse_loss"])
+        assert float(metrics["g_mse_loss"]) < first * 0.7
+
+    def test_eval_step_does_not_update(self, rng):
+        trainer = tiny_gan_trainer()
+        x, y, lengths = make_batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        metrics = trainer.eval_step(state, x, y, lengths, HP,
+                                    jax.random.PRNGKey(2))
+        assert np.isfinite(float(metrics["g_loss"]))
+
+    def test_frame_gan_conditioned(self, rng):
+        gen = DnnGenerator(output_dim=D_OUT, units=16)
+        disc = DnnDiscriminator(units=16)
+        trainer = GanTrainer(gen, disc, output_dim=D_OUT, input_dim=D_IN,
+                             left_context=0, d_conditioned=True,
+                             frame_mode=True, g_optimizer="adam",
+                             d_optimizer="adam", max_grad_norm=None)
+        x = jnp.asarray(rng.normal(size=(16, D_IN)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(16, D_OUT)), jnp.float32)
+        state = trainer.init_state(jax.random.PRNGKey(0), x)
+        state, metrics = trainer.train_step(state, x, y, None, HP,
+                                            jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["g_loss"]))
+
+
+class TestMseTrainer:
+    def test_loss_decreases(self, rng):
+        gen = ResLstmGenerator(output_dim=D_OUT, variant="base", cell_size=12)
+        trainer = MseTrainer(gen, output_dim=D_OUT, max_grad_norm=15.0)
+        x, y, lengths = make_batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        first = None
+        for i in range(80):
+            state, metrics = trainer.train_step(state, x, y, lengths,
+                                                jnp.float32(1e-2),
+                                                jax.random.PRNGKey(i))
+            if first is None:
+                first = float(metrics["g_mse_loss"])
+        assert float(metrics["g_mse_loss"]) < first * 0.7
+        ev = trainer.eval_step(state, x, y, lengths)
+        assert np.isfinite(float(ev["g_loss"]))
+
+    def test_checkpoint_roundtrip_and_ema(self, rng, tmp_path):
+        gen = DnnGenerator(output_dim=D_OUT, units=16)
+        trainer = MseTrainer(gen, output_dim=D_OUT, sequence_mode=False)
+        x = jnp.asarray(rng.normal(size=(8, D_IN)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(8, D_OUT)), jnp.float32)
+        state = trainer.init_state(jax.random.PRNGKey(0), x)
+        for i in range(3):
+            state, _ = trainer.train_step(state, x, y, None,
+                                          jnp.float32(1e-2),
+                                          jax.random.PRNGKey(i))
+        path = save_checkpoint(str(tmp_path), "MSE", state, 3)
+        restored = load_checkpoint(str(tmp_path), "MSE", state)
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # EMA swap: params become the shadow
+        ema_state = load_checkpoint(str(tmp_path), "MSE", state,
+                                    moving_average=True)
+        for p, e in zip(jax.tree.leaves(ema_state.net.params),
+                        jax.tree.leaves(state.net.ema)):
+            np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
+
+    def test_max_to_keep_rotation(self, rng, tmp_path):
+        gen = DnnGenerator(output_dim=D_OUT, units=8)
+        trainer = MseTrainer(gen, output_dim=D_OUT, sequence_mode=False)
+        x = jnp.asarray(rng.normal(size=(4, D_IN)), jnp.float32)
+        state = trainer.init_state(jax.random.PRNGKey(0), x)
+        for step in range(1, 14):
+            save_checkpoint(str(tmp_path), "M", state, step, max_to_keep=10)
+        import os
+        files = [f for f in os.listdir(tmp_path) if f.endswith(".ckpt")]
+        assert len(files) == 10
+        assert "M-13.ckpt" in files and "M-3.ckpt" not in files
+        restored = load_checkpoint(str(tmp_path), "M", state)
+        assert restored is not None
