@@ -1,0 +1,80 @@
+"""Benchmark: flagship GAN training throughput (frames/sec/chip).
+
+Measures the full reference training iteration — 1 discriminator step + 2
+generator steps on the same minibatch (run_gan_rnn_placeholder.sh:129-130)
+— with the flagship architecture at full size (res_lstm_l G: 4x LSTM-760
+proj-257, ~7.1M params; LSTM-D: 2x256 proj-40), batch 16 x 500 frames,
+bf16 matmuls, on ONE chip.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md). The divisor
+below is an engineering estimate of the TF1.4 reference's throughput on one
+2017-class GPU for the same (1 D + 2 G) iteration: non-fused
+tf.nn.dynamic_rnn LSTM stacks of this size ran ~3-6k frames/s/GPU
+forward+backward; we use 5,000 frames/s/GPU. BASELINE.json's target is
+>=10x this.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_EST_FRAMES_PER_SEC_PER_GPU = 5000.0
+
+B, T = 16, 500
+STEPS = 15
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from rsrgan_tpu.models import get_discriminator, get_generator
+    from rsrgan_tpu.training import GanTrainer
+
+    gen = get_generator("res_lstm_l", input_dim=257, output_dim=40,
+                        compute_dtype=jnp.bfloat16)
+    disc = get_discriminator("lstm", compute_dtype=jnp.bfloat16)
+    trainer = GanTrainer(gen, disc, output_dim=40, input_dim=257,
+                         disc_updates=1, gen_updates=2, l2_scale=0.0,
+                         max_grad_norm=15.0)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, 257)), jnp.float32)
+    y = jnp.asarray(rng.normal(size=(B, T, 40)), jnp.float32)
+    lengths = jnp.asarray(rng.integers(int(0.8 * T), T + 1, (B,)), jnp.int32)
+    hp = {"g_lr": jnp.float32(8e-5), "d_lr": jnp.float32(1e-3),
+          "mse_lambda": jnp.float32(10.0), "disc_noise_std": jnp.float32(0.05),
+          "d_real": jnp.float32(1.0), "d_fake": jnp.float32(0.0)}
+
+    state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+    key = jax.random.PRNGKey(1)
+
+    # warmup / compile
+    state, metrics = trainer.train_step(state, x, y, lengths, hp, key)
+    float(metrics["g_loss"])
+
+    # NOTE: sync each step via device_get — on the axon platform
+    # jax.block_until_ready has been observed returning before the
+    # computation finishes, which inflates async-timed loops ~1000x.
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        key, sub = jax.random.split(key)
+        state, metrics = trainer.train_step(state, x, y, lengths, hp, sub)
+        float(metrics["g_loss"])
+    dt = (time.perf_counter() - t0) / STEPS
+
+    frames_per_sec = B * T / dt
+    print(json.dumps({
+        "metric": "gan_train_frames_per_sec_per_chip",
+        "value": round(frames_per_sec, 1),
+        "unit": "frames/s/chip (1 D + 2 G steps per batch, B=16 T=500)",
+        "vs_baseline": round(
+            frames_per_sec / BASELINE_EST_FRAMES_PER_SEC_PER_GPU, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Data preparation CLI — stage 0/1 of the reference run scripts.
+
+Subcommands:
+
+* ``cmvn``        — convert_cmvn_to_numpy.py parity (Kaldi stats -> npz)
+* ``split``       — scripts/get_train_val_scp.py parity (shuffled tr/cv split)
+* ``make-store``  — io_funcs/make_tfrecords.py parity (scp pairs -> .rtu
+                    store shard with CMVN applied); ``--test`` = inputs only
+
+Example (mirrors run_gan_rnn_placeholder.sh:19-86)::
+
+    python -m rsrgan_tpu.cli.prepare cmvn --inputs=... --labels=... --save_dir=$dir
+    python -m rsrgan_tpu.cli.prepare split --val_size=3000 --data_dir=$dir
+    python -m rsrgan_tpu.cli.prepare make-store --inputs=$dir/tr/inputs.scp \
+        --labels=$dir/tr/labels.scp --cmvn_dir=$dir --output_dir=$dir/stores \
+        --name=tr1
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+from rsrgan_tpu.data import (build_store_from_scp, convert_cmvn_to_numpy,
+                             load_cmvn_npz)
+
+
+def cmd_cmvn(args) -> int:
+    out = convert_cmvn_to_numpy(args.inputs, args.labels, args.save_dir)
+    print(f"Write to {out}")
+    return 0
+
+
+def cmd_split(args) -> int:
+    """Shuffle paired scp lines; first val_size -> cv/, rest -> tr/
+    (scripts/get_train_val_scp.py:39-66)."""
+    inputs_scp = os.path.join(args.data_dir, "inputs.scp")
+    labels_scp = os.path.join(args.data_dir, "labels.scp")
+    with open(inputs_scp) as f:
+        in_lines = f.readlines()
+    with open(labels_scp) as f:
+        lab_lines = f.readlines()
+    assert len(in_lines) == len(lab_lines), "scp length mismatch"
+    paired = list(zip(in_lines, lab_lines))
+    random.Random(args.seed).shuffle(paired)
+    if args.val_size >= len(paired):
+        print(f"val_size {args.val_size} >= corpus {len(paired)}",
+              file=sys.stderr)
+        return 1
+    for sub, rows in (("cv", paired[:args.val_size]),
+                      ("tr", paired[args.val_size:])):
+        os.makedirs(os.path.join(args.data_dir, sub), exist_ok=True)
+        with open(os.path.join(args.data_dir, sub, "inputs.scp"), "w") as fi, \
+                open(os.path.join(args.data_dir, sub, "labels.scp"), "w") as fl:
+            for a, b in rows:
+                fi.write(a)
+                fl.write(b)
+    print(f"Split done: {args.val_size} cv / {len(paired) - args.val_size} tr")
+    return 0
+
+
+def cmd_make_store(args) -> int:
+    inputs_cmvn = labels_cmvn = None
+    if args.apply_cmvn:
+        cmvn_npz = os.path.join(args.cmvn_dir, "train_cmvn.npz")
+        inputs_cmvn, labels_cmvn = load_cmvn_npz(cmvn_npz)
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir, args.name + ".rtu")
+    labels_scp = None if args.test else args.labels
+    n = build_store_from_scp(args.inputs, out_path, labels_scp,
+                             inputs_cmvn,
+                             None if args.test else labels_cmvn)
+    print(f"Wrote {n} utterances to {out_path}")
+    return 0
+
+
+def str2bool(v: str) -> bool:
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rsrgan_tpu.cli.prepare")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("cmvn")
+    c.add_argument("--inputs", default="data/train/inputs.cmvn")
+    c.add_argument("--labels", default="data/train/labels.cmvn")
+    c.add_argument("--save_dir", required=True)
+    c.set_defaults(func=cmd_cmvn)
+
+    s = sub.add_parser("split")
+    s.add_argument("--val_size", type=int, required=True)
+    s.add_argument("--data_dir", required=True)
+    s.add_argument("--seed", type=int, default=123)
+    s.set_defaults(func=cmd_split)
+
+    m = sub.add_parser("make-store")
+    m.add_argument("--inputs", required=True)
+    m.add_argument("--labels", default=None)
+    m.add_argument("--cmvn_dir", default="data/train")
+    m.add_argument("--apply_cmvn", type=str2bool, nargs="?", default=True)
+    m.add_argument("--output_dir", required=True)
+    m.add_argument("--name", required=True)
+    m.add_argument("--test", action="store_true",
+                   help="inputs-only store (make_tfrecords.py --test)")
+    m.set_defaults(func=cmd_make_store)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,502 @@
+"""Unified train/decode driver.
+
+Covers the reference's eight ``scripts/train_*.py`` drivers with one CLI
+(flag names preserved from scripts/train_gan_rnn_placeholder.py:589-752 and
+scripts/train_dnn.py):
+
+* ``--trainer gan_rnn`` — flagship sequence LSGAN, placeholder-trainer
+  semantics (D and G updated on the same minibatch, README.md:39)
+* ``--trainer gan_dnn`` — frame-level LSGAN with input-conditioned DNN-D
+* ``--trainer rnn``     — MSE sequence trainer (lstm/bnlstm/res_lstm_*)
+* ``--trainer dnn``     — MSE frame trainer (dnn/rced/cnn) with staged LR
+  decay and reject-with-rollback checkpointing
+* ``--decode``          — enhancement: G forward, CMVN denormalize, write
+  Kaldi feats.ark/feats.scp (train_gan_rnn_placeholder.py:204-302)
+
+TPU specifics: one jitted step per bucket shape, batches sharded over a
+1-D data mesh (LR x replicas rule applied like the reference's LR x
+num_gpu), bf16 matmuls inside the models, float32 state.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsrgan_tpu.data import (ArkWriter, FrameBatcher, SequenceBatcher,
+                             ThreadedPrefetcher, UtteranceStore,
+                             infer_batches, load_cmvn_npz, read_list_file)
+from rsrgan_tpu.models import (FRAME_G_TYPES, SEQUENCE_G_TYPES,
+                               get_discriminator, get_generator)
+from rsrgan_tpu.parallel import make_mesh, replicate, shard_batch
+from rsrgan_tpu.training import (GanTrainer, ImprovementTracker, MseTrainer,
+                                 exponential_decay, load_checkpoint,
+                                 save_checkpoint, staged_decay)
+
+GAN_METRICS = ("d_rl_loss", "d_fk_loss", "d_loss", "g_adv_loss",
+               "g_mse_loss", "g_l2_loss", "g_loss")
+MSE_METRICS = ("g_mse_loss", "g_l2_loss", "g_loss")
+
+
+def log(msg: str) -> None:
+    print(msg)
+    sys.stdout.flush()
+
+
+class MetricsWriter:
+    """Structured JSONL metrics (the reference's TensorBoard summaries,
+    models/gan_rnn_placeholder.py:81-86, as grep-able records)."""
+
+    def __init__(self, save_dir: str, split: str):
+        os.makedirs(save_dir, exist_ok=True)
+        self.path = os.path.join(save_dir, f"metrics_{split}.jsonl")
+
+    def write(self, iteration: int, metrics: dict) -> None:
+        rec = {"iteration": iteration,
+               **{k: float(v) for k, v in metrics.items()}}
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+
+def build_trainer(args, compute_dtype):
+    gen = get_generator(args.g_type, input_dim=args.input_dim,
+                        output_dim=args.output_dim,
+                        left_context=args.left_context,
+                        right_context=args.right_context,
+                        keep_prob=args.keep_prob,
+                        batch_norm=args.batch_norm,
+                        compute_dtype=compute_dtype)
+    if args.trainer == "gan_rnn":
+        disc = get_discriminator("lstm", keep_prob=args.keep_prob,
+                                 compute_dtype=compute_dtype)
+        return GanTrainer(gen, disc, output_dim=args.output_dim,
+                          input_dim=args.input_dim,
+                          left_context=args.left_context,
+                          disc_updates=args.disc_updates,
+                          gen_updates=args.gen_updates,
+                          l2_scale=args.l2_scale, max_grad_norm=15.0,
+                          g_optimizer="adam", d_optimizer="sgd")
+    if args.trainer == "gan_dnn":
+        disc = get_discriminator("dnn", keep_prob=args.keep_prob)
+        return GanTrainer(gen, disc, output_dim=args.output_dim,
+                          input_dim=args.input_dim,
+                          left_context=args.left_context,
+                          disc_updates=args.disc_updates,
+                          gen_updates=args.gen_updates,
+                          l2_scale=args.l2_scale, max_grad_norm=None,
+                          g_optimizer="adam", d_optimizer="adam",
+                          d_conditioned=True, frame_mode=True)
+    if args.trainer == "rnn":
+        return MseTrainer(gen, output_dim=args.output_dim,
+                          l2_scale=args.l2_scale, max_grad_norm=15.0)
+    if args.trainer == "dnn":
+        return MseTrainer(gen, output_dim=args.output_dim,
+                          l2_scale=args.l2_scale, max_grad_norm=None,
+                          sequence_mode=False)
+    raise ValueError(f"unknown trainer {args.trainer}")
+
+
+def model_name(args) -> str:
+    return {"gan_rnn": "GAN_RNN", "gan_dnn": "GAN", "rnn": "RNNTrainer",
+            "dnn": "DNNTrainer"}[args.trainer]
+
+
+def make_hparams(args, num_devices: int):
+    return {"g_lr": jnp.float32(args.g_learning_rate * num_devices),
+            "d_lr": jnp.float32(args.d_learning_rate * num_devices),
+            "mse_lambda": jnp.float32(args.init_mse_weight),
+            "disc_noise_std": jnp.float32(args.init_disc_noise_std),
+            "d_real": jnp.float32(1.0), "d_fake": jnp.float32(0.0)}
+
+
+def _fmt(metrics: dict, keys) -> str:
+    return ", ".join(f"{k} = {float(metrics[k]):.5f}" for k in keys)
+
+
+def _avg(accum: list) -> dict:
+    keys = accum[0].keys()
+    return {k: float(np.mean([float(m[k]) for m in accum])) for k in keys}
+
+
+# ---------------------------------------------------------------------------
+# sequence trainers (gan_rnn / rnn)
+# ---------------------------------------------------------------------------
+
+def run_sequence_training(args) -> int:
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    trainer = build_trainer(args, compute_dtype)
+    is_gan = args.trainer == "gan_rnn"
+    name = model_name(args)
+
+    tr_store = UtteranceStore(read_list_file(args.tr_list_file))
+    cv_store = UtteranceStore(read_list_file(args.cv_list_file))
+
+    mesh = make_mesh(args.num_gpu) if args.num_gpu > 1 else None
+    num_devices = args.num_gpu
+    global_batch = args.batch_size * num_devices
+
+    tr_batches = SequenceBatcher(tr_store, global_batch,
+                                 args.left_context, args.right_context,
+                                 seed=args.seed)
+    cv_batches = SequenceBatcher(cv_store, global_batch,
+                                 args.left_context, args.right_context,
+                                 shuffle=False, seed=args.seed)
+    tr_num_batch = tr_batches.num_batches()
+    cv_num_batch = cv_batches.num_batches()
+    min_iters, max_iters = args.min_epoches, args.max_epoches
+    log(f"LOG: #train_batch = {tr_num_batch}, #valid_batch = {cv_num_batch}\n"
+        f"LOG: #min_iters = {min_iters}, #max_iters = {max_iters}")
+
+    # init from one example batch
+    example = next(iter(SequenceBatcher(tr_store, global_batch,
+                                        args.left_context,
+                                        args.right_context, seed=0)))
+    rng = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(rng, jnp.asarray(example.inputs),
+                               jnp.asarray(example.lengths))
+    restored = load_checkpoint(args.save_dir, name, state)
+    if restored is not None:
+        state = restored
+        log("[*] Load SUCCESS")
+    else:
+        log("[!] Begin a new model.")
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    hp = make_hparams(args, num_devices)
+    tracker = ImprovementTracker(args.end_improve)
+    tr_writer = MetricsWriter(args.save_dir, "train")
+    cv_writer = MetricsWriter(args.save_dir, "eval")
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    metric_keys = GAN_METRICS if is_gan else MSE_METRICS
+
+    for iteration in range(max_iters):
+        start = datetime.datetime.now()
+        tr_accum, cv_accum = [], []
+        for batch in ThreadedPrefetcher(iter(tr_batches), 32):
+            arrays = (jnp.asarray(batch.inputs), jnp.asarray(batch.labels),
+                      jnp.asarray(batch.lengths))
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays)
+            step_rng, sub = jax.random.split(step_rng)
+            if is_gan:
+                state, metrics = trainer.train_step(state, *arrays, hp, sub)
+            else:
+                state, metrics = trainer.train_step(state, *arrays,
+                                                    hp["g_lr"], sub)
+            tr_accum.append(metrics)
+        for batch in ThreadedPrefetcher(iter(cv_batches), 32):
+            arrays = (jnp.asarray(batch.inputs), jnp.asarray(batch.labels),
+                      jnp.asarray(batch.lengths))
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays)
+            step_rng, sub = jax.random.split(step_rng)
+            if is_gan:
+                metrics = trainer.eval_step(state, *arrays, hp, sub)
+            else:
+                metrics = trainer.eval_step(state, *arrays)
+            cv_accum.append(metrics)
+        if not tr_accum or not cv_accum:
+            log("ERROR: empty train or cv batch stream")
+            return 1
+        tr_m, cv_m = _avg(tr_accum), _avg(cv_accum)
+        took = (datetime.datetime.now() - start).total_seconds()
+        log(f"{iteration + 1}/{max_iters} (INFO): d_learning_rate = "
+            f"{float(hp['d_lr']):.5e}, g_learning_rate = "
+            f"{float(hp['g_lr']):.5e}, time = {took / 3600.0:.3f} h\n"
+            f"{iteration + 1}/{max_iters} (TRAIN AVG.LOSS): "
+            f"{_fmt(tr_m, metric_keys)}\n"
+            f"{iteration + 1}/{max_iters} (CROSS AVG.LOSS): "
+            f"{_fmt(cv_m, metric_keys)}")
+        tr_writer.write(iteration + 1, tr_m)
+        cv_writer.write(iteration + 1, cv_m)
+
+        # schedules (train_gan_rnn_placeholder.py:524-533)
+        hp["g_lr"] = jnp.float32(exponential_decay(
+            iteration + 1, num_devices, min_iters, args.g_learning_rate))
+        hp["d_lr"] = jnp.float32(exponential_decay(
+            iteration + 1, num_devices, min_iters, args.d_learning_rate))
+        hp["disc_noise_std"] = jnp.float32(exponential_decay(
+            iteration + 1, num_devices, min_iters,
+            args.init_disc_noise_std, multiply_jobs=False))
+
+        tracker.add(cv_m["g_loss"])
+        if tracker.check(iteration):
+            save_checkpoint(args.save_dir, name, jax.device_get(state),
+                            iteration + 1)
+            log(f"Iteration {iteration + 1}: Nnet Accepted. "
+                f"Save model SUCCESS.")
+        else:
+            log(f"Iteration {iteration + 1}: Nnet Rejected.")
+        if tracker.should_stop(iteration, min_iters):
+            log(f"Iteration {iteration + 1}: Finished, too small relative "
+                f"G improvement {tracker.rel_impr:g}")
+            break
+    log("Training Done.")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# frame trainers (gan_dnn / dnn)
+# ---------------------------------------------------------------------------
+
+def run_frame_training(args) -> int:
+    trainer = build_trainer(args, jnp.float32)
+    is_gan = args.trainer == "gan_dnn"
+    name = model_name(args)
+
+    tr_store = UtteranceStore(read_list_file(args.tr_list_file))
+    cv_store = UtteranceStore(read_list_file(args.cv_list_file))
+    mesh = make_mesh(args.num_gpu) if args.num_gpu > 1 else None
+    num_devices = args.num_gpu
+    global_batch = args.batch_size * num_devices
+
+    tr_batches = FrameBatcher(tr_store, global_batch, args.left_context,
+                              args.right_context, seed=args.seed)
+    cv_batches = FrameBatcher(cv_store, global_batch, args.left_context,
+                              args.right_context, shuffle=False,
+                              seed=args.seed)
+    log(f"LOG: #train_batch = {tr_batches.num_batches()}, "
+        f"#valid_batch = {cv_batches.num_batches()}")
+
+    x0, y0 = next(iter(tr_batches))
+    rng = jax.random.PRNGKey(args.seed)
+    state = trainer.init_state(rng, jnp.asarray(x0))
+    restored = load_checkpoint(args.save_dir, name, state)
+    if restored is not None:
+        state = restored
+        log("[*] Load SUCCESS")
+    else:
+        log("[!] Begin a new model.")
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    hp = make_hparams(args, num_devices)
+    g_lr = float(hp["g_lr"])
+    tr_writer = MetricsWriter(args.save_dir, "train")
+    cv_writer = MetricsWriter(args.save_dir, "eval")
+    step_rng = jax.random.PRNGKey(args.seed + 1)
+    metric_keys = GAN_METRICS if is_gan else MSE_METRICS
+
+    def eval_epoch(state):
+        accum = []
+        for x, y in cv_batches:
+            arrays = (jnp.asarray(x), jnp.asarray(y))
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays)
+            if is_gan:
+                k = jax.random.PRNGKey(0)
+                accum.append(trainer.eval_step(state, *arrays, None, hp, k))
+            else:
+                accum.append(trainer.eval_step(state, *arrays, None))
+        return _avg(accum)
+
+    cv_m = eval_epoch(state)
+    log(f"CROSSVAL.LOSS PRERUN: {_fmt(cv_m, metric_keys)}")
+    g_loss_prev = cv_m["g_loss"]
+    decay_steps = 1
+
+    for epoch in range(args.max_epoches):
+        start = datetime.datetime.now()
+        tr_accum = []
+        for x, y in ThreadedPrefetcher(iter(tr_batches), 32):
+            arrays = (jnp.asarray(x), jnp.asarray(y))
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays)
+            step_rng, sub = jax.random.split(step_rng)
+            if is_gan:
+                state, m = trainer.train_step(state, *arrays, None, hp, sub)
+            else:
+                state, m = trainer.train_step(state, *arrays, None,
+                                              jnp.float32(g_lr), sub)
+            tr_accum.append(m)
+        tr_m = _avg(tr_accum)
+        cv_m = eval_epoch(state)
+        took = (datetime.datetime.now() - start).total_seconds()
+        log(f"Epoch {epoch + 1} (TRAIN AVG.LOSS): {_fmt(tr_m, metric_keys)},"
+            f" learning_rate= {g_lr:.3e}\n"
+            f"Epoch {epoch + 1} (CROSS AVG.LOSS): {_fmt(cv_m, metric_keys)},"
+            f" TIME USED {took / 3600.0:.2f} h")
+        tr_writer.write(epoch + 1, tr_m)
+        cv_writer.write(epoch + 1, cv_m)
+
+        g_loss_new = cv_m["g_loss"]
+        if g_loss_new < g_loss_prev:
+            save_checkpoint(args.save_dir, name, jax.device_get(state),
+                            epoch + 1)
+            log(f"Epoch {epoch + 1}: Nnet Accepted. Save model SUCCESS.")
+            g_rel_impr = (g_loss_prev - g_loss_new) / g_loss_prev
+            g_loss_prev = g_loss_new
+        else:
+            # reject + ROLLBACK to previous checkpoint (train_dnn.py:393-414)
+            log(f"Epoch {epoch + 1}: Nnet Rejected.")
+            rolled = load_checkpoint(args.save_dir, name,
+                                     jax.device_get(state))
+            if rolled is None:
+                log("[!] Load failed. No checkpoint to restore. Exit now.")
+                return 1
+            state = replicate(mesh, rolled) if mesh is not None else rolled
+            log("[*] Load previous model SUCCESS.")
+            g_rel_impr = (g_loss_prev - g_loss_new) / g_loss_prev
+
+        if g_rel_impr < args.start_decay_impr and \
+                epoch + 1 >= args.keep_lr:
+            g_lr = staged_decay(args.g_learning_rate * num_devices,
+                                args.decay_factor, decay_steps)
+            decay_steps += 1
+        if g_rel_impr < args.end_decay_impr:
+            if epoch < args.min_epoches:
+                log(f"Epoch {epoch + 1}: We were supposed to finish, but we "
+                    f"continue as min_epoches {args.min_epoches}")
+                continue
+            log(f"Epoch {epoch + 1}: Finished, too small relative G "
+                f"improvement {g_rel_impr:g}")
+            break
+    log("Training Done.")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# decode (enhancement)
+# ---------------------------------------------------------------------------
+
+def run_decode(args) -> int:
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    trainer = build_trainer(args, compute_dtype)
+    name = model_name(args)
+    sequence = args.trainer in ("gan_rnn", "rnn")
+
+    test_store = UtteranceStore(read_list_file(args.test_list_file))
+    num_batch = len(test_store)
+
+    example = next(iter(infer_batches(test_store, args.left_context,
+                                      args.right_context)))
+    rng = jax.random.PRNGKey(0)
+    if sequence:
+        state = trainer.init_state(rng, jnp.asarray(example.inputs),
+                                   jnp.asarray(example.lengths))
+    else:
+        state = trainer.init_state(rng, jnp.asarray(example.inputs[0]))
+    state = load_checkpoint(args.save_dir, name, state,
+                            moving_average=args.moving_average)
+    if state is None:
+        log("[!] Load failed. Checkpoint not found. Exit now.")
+        return 1
+    log("[*] Load SUCCESS")
+
+    cmvn_filename = os.path.join(args.data_dir, "train_cmvn.npz")
+    if not os.path.isfile(cmvn_filename):
+        log(f"{cmvn_filename} not exist, exit now.")
+        return 1
+    _, labels_cmvn = load_cmvn_npz(cmvn_filename)
+
+    out_dir = os.path.join(args.save_dir, "test")
+    os.makedirs(out_dir, exist_ok=True)
+    writer = ArkWriter(os.path.join(out_dir, "feats.scp"))
+    ark_path = os.path.join(out_dir, "feats.ark")
+
+    if hasattr(state, "g"):
+        g_params = state.g.params
+
+        def infer(inputs, lengths):
+            return trainer.infer_step(g_params, inputs, lengths)
+    else:
+        def infer(inputs, lengths):
+            return trainer.infer_step(state, inputs,
+                                      lengths if sequence else None)
+
+    start = datetime.datetime.now()
+    it = ThreadedPrefetcher(
+        infer_batches(test_store, args.left_context, args.right_context), 16)
+    for i, batch in enumerate(it):
+        if sequence:
+            act = infer(jnp.asarray(batch.inputs),
+                        jnp.asarray(batch.lengths))
+            act = np.asarray(act)[0, :int(batch.lengths[0])]
+        else:
+            act = infer(jnp.asarray(batch.inputs[0]), None)
+            act = np.asarray(act)[:int(batch.lengths[0])]
+        result = labels_cmvn.denormalize(act)
+        writer.write_next_utt(ark_path, batch.utt_ids[0],
+                              np.vstack(result))
+        log(f"[{i + 1}/{num_batch}] Write inferred {batch.utt_ids[0]} "
+            f"to {ark_path}")
+    writer.close()
+    took = (datetime.datetime.now() - start).total_seconds()
+    log(f"Decoding time is {took}s")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+
+def str2bool(v) -> bool:
+    return str(v).lower() in ("yes", "true", "t", "1")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="rsrgan_tpu.cli.train")
+    p.add_argument("--trainer", default="gan_rnn",
+                   choices=["gan_rnn", "gan_dnn", "rnn", "dnn"])
+    p.add_argument("--decode", action="store_true", default=False)
+    p.add_argument("--data_dir", type=str, default=None)
+    p.add_argument("--tr_list_file", type=str, default=None)
+    p.add_argument("--cv_list_file", type=str, default=None)
+    p.add_argument("--test_list_file", type=str, default=None)
+    p.add_argument("--input_dim", type=int, default=257)
+    p.add_argument("--output_dim", type=int, default=40)
+    p.add_argument("--left_context", type=int, default=0)
+    p.add_argument("--right_context", type=int, default=0)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--g_learning_rate", type=float, default=0.0003)
+    p.add_argument("--d_learning_rate", type=float, default=0.001)
+    p.add_argument("--min_epoches", type=int, default=25)
+    p.add_argument("--max_epoches", type=int, default=30)
+    p.add_argument("--end_improve", type=float, default=0.001)
+    p.add_argument("--num_threads", type=int, default=8)
+    p.add_argument("--save_dir", type=str, default="exp/gan_rnn")
+    p.add_argument("--init_mse_weight", type=float, default=1.0)
+    p.add_argument("--g_type", type=str, default="lstm")
+    p.add_argument("--disc_updates", type=int, default=1)
+    p.add_argument("--gen_updates", type=int, default=2)
+    p.add_argument("--batch_norm", type=str2bool, nargs="?", default=False)
+    p.add_argument("--keep_prob", type=float, default=1.0)
+    p.add_argument("--init_disc_noise_std", type=float, default=0.0)
+    p.add_argument("--l2_scale", type=float, default=0.00001)
+    p.add_argument("--num_gpu", type=int, default=1,
+                   help="number of devices (data-parallel replicas)")
+    # frame-trainer schedule flags (train_dnn.py)
+    p.add_argument("--start_decay_impr", type=float, default=0.003)
+    p.add_argument("--end_decay_impr", type=float, default=0.0005)
+    p.add_argument("--keep_lr", type=int, default=3)
+    p.add_argument("--decay_factor", type=float, default=0.5)
+    # TPU-specific
+    p.add_argument("--bf16", type=str2bool, nargs="?", default=True,
+                   help="bfloat16 matmuls in models (recommended on TPU)")
+    p.add_argument("--moving_average", type=str2bool, nargs="?",
+                   default=False, help="decode with EMA shadow params")
+    p.add_argument("--seed", type=int, default=777)
+    return p
+
+
+def main(argv=None) -> int:
+    args, unparsed = build_parser().parse_known_args(argv)
+    log("*** Parsed arguments ***")
+    log(json.dumps(vars(args), indent=1, default=str))
+    if unparsed:
+        log(f"WARNING: ignoring unknown flags {unparsed}")
+    if args.decode:
+        return run_decode(args)
+    if args.trainer in ("gan_rnn", "rnn"):
+        return run_sequence_training(args)
+    return run_frame_training(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

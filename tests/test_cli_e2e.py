@@ -1,0 +1,88 @@
+"""End-to-end CLI test: prepare -> train (dnn) -> decode -> verify arks.
+
+Exercises the full reference workflow (run_dnn.sh stages 0-3) on a tiny
+synthetic corpus with the frame DNN trainer (small enough for the CPU test
+environment). The flagship gan_rnn path is covered at API level in
+test_training.py and on real TPU by recipes/run_micro.sh.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from rsrgan_tpu.cli import prepare as prepare_cli
+from rsrgan_tpu.cli import train as train_cli
+from rsrgan_tpu.data import ScpReader, load_cmvn_npz
+from rsrgan_tpu.data.synthetic import make_synthetic_corpus
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    data_dir = str(tmp_path_factory.mktemp("corpus"))
+    make_synthetic_corpus(data_dir, num_utts=12, input_dim=16, output_dim=6,
+                          min_len=30, max_len=60)
+    return data_dir
+
+
+def test_full_pipeline(corpus, tmp_path):
+    data_dir = corpus
+    # stage 0: cmvn + split + stores
+    assert prepare_cli.main(["cmvn", f"--inputs={data_dir}/inputs.cmvn",
+                             f"--labels={data_dir}/labels.cmvn",
+                             f"--save_dir={data_dir}"]) == 0
+    assert prepare_cli.main(["split", "--val_size=4",
+                             f"--data_dir={data_dir}", "--seed=1"]) == 0
+    stores = os.path.join(data_dir, "stores")
+    for sub in ("tr", "cv"):
+        assert prepare_cli.main([
+            "make-store", f"--inputs={data_dir}/{sub}/inputs.scp",
+            f"--labels={data_dir}/{sub}/labels.scp",
+            f"--cmvn_dir={data_dir}", f"--output_dir={stores}",
+            f"--name={sub}"]) == 0
+    tr_list = os.path.join(data_dir, "tr.list")
+    cv_list = os.path.join(data_dir, "cv.list")
+    with open(tr_list, "w") as f:
+        f.write(os.path.join(stores, "tr.rtu") + "\n")
+    with open(cv_list, "w") as f:
+        f.write(os.path.join(stores, "cv.rtu") + "\n")
+    # stage 1: test store (inputs only)
+    assert prepare_cli.main([
+        "make-store", f"--inputs={data_dir}/cv/inputs.scp",
+        f"--cmvn_dir={data_dir}", f"--output_dir={stores}",
+        "--name=test", "--test"]) == 0
+    test_list = os.path.join(data_dir, "test.list")
+    with open(test_list, "w") as f:
+        f.write(os.path.join(stores, "test.rtu") + "\n")
+
+    # stage 2: train frame DNN for 2 epochs (tiny dims via input flags)
+    save_dir = str(tmp_path / "exp")
+    rc = train_cli.main([
+        "--trainer=dnn", "--g_type=dnn",
+        f"--data_dir={data_dir}", f"--tr_list_file={tr_list}",
+        f"--cv_list_file={cv_list}", f"--save_dir={save_dir}",
+        "--input_dim=16", "--output_dim=6", "--left_context=2",
+        "--right_context=2", "--batch_size=64",
+        "--g_learning_rate=0.001", "--min_epoches=1", "--max_epoches=2",
+        "--keep_lr=1", "--bf16=false", "--l2_scale=0.0"])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(save_dir, "checkpoint"))
+    assert os.path.isfile(os.path.join(save_dir, "metrics_train.jsonl"))
+
+    # stage 3: decode
+    rc = train_cli.main([
+        "--decode", "--trainer=dnn", "--g_type=dnn",
+        f"--data_dir={data_dir}", f"--test_list_file={test_list}",
+        f"--save_dir={save_dir}", "--input_dim=16", "--output_dim=6",
+        "--left_context=2", "--right_context=2", "--batch_size=1",
+        "--bf16=false"])
+    assert rc == 0
+    feats_scp = os.path.join(save_dir, "test", "feats.scp")
+    assert os.path.isfile(feats_scp)
+    reader = ScpReader(feats_scp)
+    assert len(reader) == 4  # cv utts reused as test set
+    # enhanced features are denormalized: roughly label scale, not z-scores
+    _, labels_cmvn = load_cmvn_npz(os.path.join(data_dir, "train_cmvn.npz"))
+    for utt, mat in zip(reader.utt_ids, (m for _, m in reader)):
+        assert mat.shape[1] == 6
+        assert np.isfinite(mat).all()

@@ -1,0 +1,35 @@
+"""Native ark codec parity tests (skipped until build.sh has run)."""
+
+import numpy as np
+import pytest
+
+from rsrgan_tpu.data.kaldi_ark import _decode_compressed
+
+try:
+    from rsrgan_tpu.native import ark_native
+except Exception:
+    ark_native = None
+
+pytestmark = pytest.mark.skipif(
+    ark_native is None,
+    reason="libark_codec.so not built (bash rsrgan_tpu/native/build.sh)")
+
+
+def test_decode_compressed_matches_numpy(rng):
+    rows, cols = 57, 13
+    headers = np.sort(rng.integers(0, 65536, (cols, 4)), axis=1
+                      ).astype("<u2")
+    data = rng.integers(0, 256, (cols, rows)).astype(np.uint8)
+    payload = headers.tobytes() + data.tobytes()
+    a = ark_native.decode_compressed(payload, -4.0, 8.0, rows, cols)
+    b = _decode_compressed(payload, -4.0, 8.0, rows, cols)
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+
+def test_apply_cmvn_matches_numpy(rng):
+    feats = rng.normal(size=(40, 7)).astype(np.float32)
+    mean = feats.mean(0)
+    std = feats.std(0)
+    got = ark_native.apply_cmvn(feats, mean, std)
+    np.testing.assert_allclose(got, (feats - mean) / std, rtol=2e-4,
+                               atol=1e-4)
