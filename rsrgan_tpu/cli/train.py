@@ -177,21 +177,52 @@ def run_sequence_training(args) -> int:
     step_rng = jax.random.PRNGKey(args.seed + 1)
     metric_keys = GAN_METRICS if is_gan else MSE_METRICS
 
+    steps_per_call = max(1, args.steps_per_call)
+
     for iteration in range(max_iters):
         start = datetime.datetime.now()
         tr_accum, cv_accum = [], []
-        for batch in ThreadedPrefetcher(iter(tr_batches), 32):
-            arrays = (jnp.asarray(batch.inputs), jnp.asarray(batch.labels),
-                      jnp.asarray(batch.lengths))
-            if mesh is not None:
-                arrays = shard_batch(mesh, arrays)
+
+        # Group same-bucket batches and run them as one jitted multi-step
+        # scan — amortizes per-dispatch host latency (axon tunnel ~20 ms).
+        pending = {}
+
+        def run_group(batches):
+            nonlocal state, step_rng
             step_rng, sub = jax.random.split(step_rng)
+            if len(batches) == 1:
+                b = batches[0]
+                arrays = (jnp.asarray(b.inputs), jnp.asarray(b.labels),
+                          jnp.asarray(b.lengths))
+                if mesh is not None:
+                    arrays = shard_batch(mesh, arrays)
+                if is_gan:
+                    state, m = trainer.train_step(state, *arrays, hp, sub)
+                else:
+                    state, m = trainer.train_step(state, *arrays,
+                                                  hp["g_lr"], sub)
+                tr_accum.append(m)
+                return
+            stacked = (np.stack([b.inputs for b in batches]),
+                       np.stack([b.labels for b in batches]),
+                       np.stack([b.lengths for b in batches]))
+            arrays = tuple(jnp.asarray(a) for a in stacked)
+            if mesh is not None:
+                arrays = shard_batch(mesh, arrays, axis=1)
             if is_gan:
-                state, metrics = trainer.train_step(state, *arrays, hp, sub)
+                state, m = trainer.train_multi_step(state, *arrays, hp, sub)
             else:
-                state, metrics = trainer.train_step(state, *arrays,
+                state, m = trainer.train_multi_step(state, *arrays,
                                                     hp["g_lr"], sub)
-            tr_accum.append(metrics)
+            tr_accum.extend([m] * len(batches))
+
+        for batch in ThreadedPrefetcher(iter(tr_batches), 32):
+            key = batch.inputs.shape
+            pending.setdefault(key, []).append(batch)
+            if len(pending[key]) == steps_per_call:
+                run_group(pending.pop(key))
+        for group in pending.values():
+            run_group(group)
         for batch in ThreadedPrefetcher(iter(cv_batches), 32):
             arrays = (jnp.asarray(batch.inputs), jnp.asarray(batch.labels),
                       jnp.asarray(batch.lengths))
@@ -479,6 +510,8 @@ def build_parser() -> argparse.ArgumentParser:
     # TPU-specific
     p.add_argument("--bf16", type=str2bool, nargs="?", default=True,
                    help="bfloat16 matmuls in models (recommended on TPU)")
+    p.add_argument("--steps_per_call", type=int, default=8,
+                   help="same-bucket train steps fused under one jit")
     p.add_argument("--moving_average", type=str2bool, nargs="?",
                    default=False, help="decode with EMA shadow params")
     p.add_argument("--seed", type=int, default=777)

@@ -30,15 +30,22 @@ def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1,
     return Mesh(np.asarray(devices), ("data",))
 
 
-def data_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
-    """Leading-axis batch sharding over the 'data' axis."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
+    """Batch sharding over the 'data' axis at dimension ``axis``."""
+    spec = [None] * ndim
+    spec[axis] = "data"
+    return NamedSharding(mesh, P(*spec))
 
 
-def shard_batch(mesh: Mesh, tree: Any) -> Any:
-    """device_put every array with its leading axis over 'data'."""
+def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
+    """device_put every array with dimension ``axis`` over 'data'.
+
+    axis=1 handles stacked multi-step batches [N, B, ...] where N is the
+    scan axis and B the data-parallel batch.
+    """
     return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree)
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)),
+        tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -83,6 +83,10 @@ class MseTrainer:
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_step(self, state: MseState, inputs, labels, lengths, lr, rng):
+        return self._train_step_impl(state, inputs, labels, lengths, lr,
+                                     rng)
+
+    def _train_step_impl(self, state, inputs, labels, lengths, lr, rng):
         (_, (metrics, new_extra)), grads = jax.value_and_grad(
             self._loss_fn, has_aux=True)(
                 state.net.params, state.net.extra, inputs, labels, lengths,
@@ -90,6 +94,24 @@ class MseTrainer:
         net = state.net.apply_gradients(grads, self.tx, lr, self.ema_decay)
         net = net.replace(extra=new_extra)
         return state.replace(net=net, step=state.step + 1), metrics
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def train_multi_step(self, state: MseState, inputs, labels, lengths,
+                         lr, rng):
+        """N chained steps per jit over stacked same-shape batches
+        (see GanTrainer.train_multi_step)."""
+        n = inputs.shape[0]
+        rngs = jax.random.split(rng, n)
+
+        def body(state, scan_in):
+            xi, yi, li, ri = scan_in
+            return self._train_step_impl(state, xi, yi, li, lr, ri)
+
+        state, metrics = jax.lax.scan(
+            body, state,
+            (inputs, labels,
+             lengths if lengths is not None else jnp.zeros((n, 1)), rngs))
+        return state, jax.tree.map(jnp.mean, metrics)
 
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: MseState, inputs, labels, lengths):

@@ -154,6 +154,32 @@ class TestGanTrainer:
                 first = float(metrics["g_mse_loss"])
         assert float(metrics["g_mse_loss"]) < first * 0.7
 
+    def test_multi_step_matches_sequential(self, rng):
+        """train_multi_step over stacked batches == the same train_step
+        sequence (same rng splits)."""
+        trainer = tiny_gan_trainer()
+        x, y, lengths = make_batch(rng)
+        N = 3
+        base = jax.random.PRNGKey(5)
+        rngs = jax.random.split(base, N)
+
+        state_a = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        for i in range(N):
+            state_a, m_a = trainer.train_step(state_a, x, y, lengths, HP,
+                                              rngs[i])
+        a_params = jax.tree.map(np.asarray, state_a.g.params)
+
+        state_b = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        xs = jnp.broadcast_to(x, (N,) + x.shape)
+        ys = jnp.broadcast_to(y, (N,) + y.shape)
+        ls = jnp.broadcast_to(lengths, (N,) + lengths.shape)
+        state_b, m_b = trainer.train_multi_step(state_b, xs, ys, ls, HP,
+                                                base)
+        b_params = jax.tree.map(np.asarray, state_b.g.params)
+        for pa, pb in zip(jax.tree.leaves(a_params),
+                          jax.tree.leaves(b_params)):
+            np.testing.assert_allclose(pa, pb, atol=1e-5)
+
     def test_eval_step_does_not_update(self, rng):
         trainer = tiny_gan_trainer()
         x, y, lengths = make_batch(rng)
