@@ -17,6 +17,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -34,9 +35,11 @@ def main() -> None:
     from rsrgan_tpu.models import get_discriminator, get_generator
     from rsrgan_tpu.training import GanTrainer
 
+    lstm_impl = os.environ.get("RSRGAN_LSTM_IMPL", "pallas")
     gen = get_generator("res_lstm_l", input_dim=257, output_dim=40,
-                        compute_dtype=jnp.bfloat16)
-    disc = get_discriminator("lstm", compute_dtype=jnp.bfloat16)
+                        compute_dtype=jnp.bfloat16, lstm_impl=lstm_impl)
+    disc = get_discriminator("lstm", compute_dtype=jnp.bfloat16,
+                             lstm_impl=lstm_impl)
     trainer = GanTrainer(gen, disc, output_dim=40, input_dim=257,
                          disc_updates=1, gen_updates=2, l2_scale=0.0,
                          max_grad_norm=15.0)

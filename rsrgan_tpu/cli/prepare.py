@@ -71,8 +71,61 @@ def cmd_make_store(args) -> int:
     labels_scp = None if args.test else args.labels
     n = build_store_from_scp(args.inputs, out_path, labels_scp,
                              inputs_cmvn,
-                             None if args.test else labels_cmvn)
+                             None if args.test else labels_cmvn,
+                             rt60_scp=args.rt60_scp)
     print(f"Wrote {n} utterances to {out_path}")
+    return 0
+
+
+def cmd_split_scp(args) -> int:
+    """Split paired inputs/labels scp into nj aligned shards
+    (scripts/split_scp.sh:46-70)."""
+    split_dir = os.path.join(args.data_dir, f"split{args.nj}")
+    os.makedirs(split_dir, exist_ok=True)
+    for name in ("inputs", "labels"):
+        path = os.path.join(args.data_dir, f"{name}.scp")
+        if not os.path.isfile(path):
+            if name == "labels":
+                continue
+            print(f"missing {path}", file=sys.stderr)
+            return 1
+        with open(path) as f:
+            lines = f.readlines()
+        per = -(-len(lines) // args.nj)
+        for j in range(args.nj):
+            shard = lines[j * per:(j + 1) * per]
+            with open(os.path.join(split_dir, f"{name}{j + 1}.scp"),
+                      "w") as fw:
+                fw.writelines(shard)
+    print(f"Split into {args.nj} shards under {split_dir}")
+    return 0
+
+
+def cmd_verify_store(args) -> int:
+    """Structural store validation (io_funcs/verify_tfrecords.py parity)."""
+    from rsrgan_tpu.data.store import verify_store
+    failed = 0
+    for path in args.stores:
+        try:
+            n, bad = verify_store(path)
+        except Exception as e:
+            print(f"{path}: CORRUPT ({e})")
+            failed += 1
+            continue
+        status = "OK" if bad == 0 else f"{bad} BAD ENTRIES"
+        print(f"{path}: {n} utterances, {status}")
+        failed += int(bad > 0)
+    return 1 if failed else 0
+
+
+def cmd_from_tfrecords(args) -> int:
+    """Repack reference TFRecords (SequenceExamples) into a .rtu store."""
+    from rsrgan_tpu.data.tfrecords_compat import convert_tfrecords_to_store
+    os.makedirs(args.output_dir, exist_ok=True)
+    out_path = os.path.join(args.output_dir, args.name + ".rtu")
+    n = convert_tfrecords_to_store(args.tfrecords, out_path)
+    print(f"Repacked {n} utterances from {len(args.tfrecords)} "
+          f"TFRecord file(s) to {out_path}")
     return 0
 
 
@@ -105,7 +158,25 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--name", required=True)
     m.add_argument("--test", action="store_true",
                    help="inputs-only store (make_tfrecords.py --test)")
+    m.add_argument("--rt60_scp", default=None,
+                   help="per-utt RT60 scalars prepended as an input column "
+                        "(make_tfrecords_rta.py)")
     m.set_defaults(func=cmd_make_store)
+
+    ss = sub.add_parser("split-scp")
+    ss.add_argument("--nj", type=int, required=True)
+    ss.add_argument("--data_dir", required=True)
+    ss.set_defaults(func=cmd_split_scp)
+
+    v = sub.add_parser("verify-store")
+    v.add_argument("stores", nargs="+")
+    v.set_defaults(func=cmd_verify_store)
+
+    t = sub.add_parser("from-tfrecords")
+    t.add_argument("--tfrecords", nargs="+", required=True)
+    t.add_argument("--output_dir", required=True)
+    t.add_argument("--name", required=True)
+    t.set_defaults(func=cmd_from_tfrecords)
     return p
 
 

@@ -72,10 +72,12 @@ def build_trainer(args, compute_dtype):
                         right_context=args.right_context,
                         keep_prob=args.keep_prob,
                         batch_norm=args.batch_norm,
-                        compute_dtype=compute_dtype)
+                        compute_dtype=compute_dtype,
+                        lstm_impl=args.lstm_impl)
     if args.trainer == "gan_rnn":
         disc = get_discriminator("lstm", keep_prob=args.keep_prob,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 lstm_impl=args.lstm_impl)
         return GanTrainer(gen, disc, output_dim=args.output_dim,
                           input_dim=args.input_dim,
                           left_context=args.left_context,
@@ -512,6 +514,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 matmuls in models (recommended on TPU)")
     p.add_argument("--steps_per_call", type=int, default=8,
                    help="same-bucket train steps fused under one jit")
+    p.add_argument("--lstm_impl", default="scan",
+                   choices=["scan", "pallas"],
+                   help="LSTM recurrence: lax.scan or fused Pallas kernel")
     p.add_argument("--moving_average", type=str2bool, nargs="?",
                    default=False, help="decode with EMA shadow params")
     p.add_argument("--seed", type=int, default=777)

@@ -139,21 +139,37 @@ class UtteranceStore:
         return e["id"], self.inputs(i), self.labels(i)
 
 
+def read_rt60_scp(rt60_scp: str) -> dict:
+    """Read an ``utt_id rt60`` scalar table (make_tfrecords_rta.py)."""
+    table = {}
+    with open(rt60_scp) as f:
+        for line in f:
+            parts = line.split()
+            if parts:
+                table[parts[0]] = float(parts[1])
+    return table
+
+
 def build_store_from_scp(inputs_scp: str,
                          output_path: str,
                          labels_scp: Optional[str] = None,
                          inputs_cmvn: Optional[Cmvn] = None,
-                         labels_cmvn: Optional[Cmvn] = None) -> int:
+                         labels_cmvn: Optional[Cmvn] = None,
+                         rt60_scp: Optional[str] = None) -> int:
     """Convert paired scp files into one store shard.
 
     Equivalent of io_funcs/make_tfrecords.py:43-91: asserts utt-id pairing
-    between the two scp files and applies global CMVN at write time. Returns
-    the number of utterances written.
+    between the two scp files and applies global CMVN at write time. With
+    ``rt60_scp``, prepends each utterance's reverberation-time scalar as an
+    extra leading input column (reverberation-time-aware training,
+    io_funcs/make_tfrecords_rta.py:99-103). Returns the number of
+    utterances written.
     """
     in_entries = read_scp(inputs_scp)
     lab_entries = read_scp(labels_scp) if labels_scp else None
     if lab_entries is not None and len(in_entries) != len(lab_entries):
         raise ValueError("inputs/labels scp length mismatch")
+    rt60 = read_rt60_scp(rt60_scp) if rt60_scp else None
 
     count = 0
     with StoreWriter(output_path) as writer:
@@ -161,6 +177,9 @@ def build_store_from_scp(inputs_scp: str,
             inputs = np.asarray(read_ark_matrix(path, offset), np.float64)
             if inputs_cmvn is not None:
                 inputs = inputs_cmvn.apply(inputs)
+            if rt60 is not None:
+                col = np.full((inputs.shape[0], 1), rt60[utt_id])
+                inputs = np.concatenate([col, inputs], axis=1)
             labels = None
             if lab_entries is not None:
                 lab_id, lab_path, lab_off = lab_entries[i]
@@ -173,6 +192,24 @@ def build_store_from_scp(inputs_scp: str,
             writer.add(utt_id, inputs, labels)
             count += 1
     return count
+
+
+def verify_store(path: str) -> Tuple[int, int]:
+    """Structural validation of a store shard (io_funcs/verify_tfrecords.py
+    parity): checks magic/footer, index consistency and that every payload
+    slice lies inside the file. Returns (num_utts, num_bad)."""
+    store = UtteranceStore([path])  # raises on bad magic/footer
+    size = os.path.getsize(path)
+    bad = 0
+    for shard, e in store._entries:
+        end = e["io"] + e["ir"] * e["ic"] * 4
+        ok = e["io"] >= 4 and end <= size
+        if "lo" in e:
+            lend = e["lo"] + e["lr"] * e["lc"] * 4
+            ok = ok and lend <= size and e["lr"] == e["ir"]
+        if not ok:
+            bad += 1
+    return len(store), bad
 
 
 def read_list_file(list_file: str) -> List[str]:

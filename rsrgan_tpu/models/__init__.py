@@ -27,11 +27,13 @@ FRAME_G_TYPES = ("dnn", "rced", "cnn")
 def get_generator(g_type: str, *, input_dim: int, output_dim: int,
                   left_context: int = 0, right_context: int = 0,
                   keep_prob: float = 1.0, batch_norm: bool = False,
-                  compute_dtype: Any = jnp.float32):
+                  compute_dtype: Any = jnp.float32,
+                  lstm_impl: str = "scan"):
     splice = left_context + 1 + right_context
     if g_type == "lstm":
         return LstmGenerator(output_dim=output_dim, keep_prob=keep_prob,
-                             compute_dtype=compute_dtype)
+                             compute_dtype=compute_dtype,
+                             lstm_impl=lstm_impl)
     if g_type == "bnlstm":
         return BnLstmGenerator(output_dim=output_dim,
                                compute_dtype=compute_dtype)
@@ -39,7 +41,8 @@ def get_generator(g_type: str, *, input_dim: int, output_dim: int,
         return ResLstmGenerator(output_dim=output_dim,
                                 variant=g_type.rsplit("_", 1)[-1],
                                 keep_prob=keep_prob,
-                                compute_dtype=compute_dtype)
+                                compute_dtype=compute_dtype,
+                                lstm_impl=lstm_impl)
     if g_type == "dnn":
         return DnnGenerator(output_dim=output_dim, keep_prob=keep_prob,
                             batch_norm=batch_norm)
@@ -53,10 +56,12 @@ def get_generator(g_type: str, *, input_dim: int, output_dim: int,
 
 
 def get_discriminator(d_type: str, *, keep_prob: float = 1.0,
-                      compute_dtype: Any = jnp.float32):
+                      compute_dtype: Any = jnp.float32,
+                      lstm_impl: str = "scan"):
     if d_type == "lstm":
         return LstmDiscriminator(keep_prob=keep_prob,
-                                 compute_dtype=compute_dtype)
+                                 compute_dtype=compute_dtype,
+                                 lstm_impl=lstm_impl)
     if d_type == "dnn":
         return DnnDiscriminator(keep_prob=keep_prob)
     raise ValueError(f"Unrecognized D type {d_type}")

@@ -59,6 +59,7 @@ class LstmDiscriminator(nn.Module):
     num_layers: int = 2
     keep_prob: float = 1.0
     compute_dtype: Any = jnp.float32
+    lstm_impl: str = "scan"
 
     @nn.compact
     def __call__(self, inputs, lengths=None, noise_std=0.0,
@@ -68,5 +69,6 @@ class LstmDiscriminator(nn.Module):
             h = gaussian_noise(self.make_rng("noise"), h, noise_std)
         h = StackedLstm(self.num_layers, self.cell_size, self.num_projection,
                         compute_dtype=self.compute_dtype,
+                        lstm_impl=self.lstm_impl,
                         dropout_keep_prob=self.keep_prob)(h, lengths, train)
         return nn.Dense(1, kernel_init=_GLOROT)(h)  # [B, T, 1]

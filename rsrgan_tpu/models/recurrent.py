@@ -30,6 +30,7 @@ class LstmGenerator(nn.Module):
     num_layers: int = 3
     keep_prob: float = 1.0
     compute_dtype: Any = jnp.float32
+    lstm_impl: str = "scan"
 
     @nn.compact
     def __call__(self, inputs, lengths=None, train: bool = False):
@@ -37,6 +38,7 @@ class LstmGenerator(nn.Module):
         h = leakyrelu(h)
         h = StackedLstm(self.num_layers, self.cell_size, self.num_projection,
                         compute_dtype=self.compute_dtype,
+                        lstm_impl=self.lstm_impl,
                         dropout_keep_prob=self.keep_prob)(h, lengths, train)
         return nn.Dense(self.output_dim, kernel_init=_GLOROT)(h)
 
@@ -80,6 +82,7 @@ class ResLstmGenerator(nn.Module):
     cell_size: int = 760
     keep_prob: float = 1.0
     compute_dtype: Any = jnp.float32
+    lstm_impl: str = "scan"
 
     @nn.compact
     def __call__(self, inputs, lengths=None, train: bool = False):
@@ -89,6 +92,7 @@ class ResLstmGenerator(nn.Module):
         def cell(idx):
             return LstmCellP(self.cell_size, num_proj,
                              compute_dtype=self.compute_dtype,
+                             lstm_impl=self.lstm_impl,
                              name=f"lstm_cell_{idx + 1}")
 
         def dropout(h):

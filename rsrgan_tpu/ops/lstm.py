@@ -46,6 +46,7 @@ class LstmCellP(nn.Module):
     forget_bias: float = 1.0
     use_peepholes: bool = True
     compute_dtype: Any = jnp.float32  # matmul dtype (bf16 for speed)
+    lstm_impl: str = "scan"  # "scan" (lax.scan) | "pallas" (fused kernel)
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray,
@@ -74,6 +75,16 @@ class LstmCellP(nn.Module):
         x_tm = jnp.swapaxes(inputs, 0, 1)  # [T, B, D]
         xw = jnp.einsum("tbd,du->tbu", x_tm.astype(cdt), w_x.astype(cdt)
                         ).astype(jnp.float32)  # [T, B, 4U]
+
+        if self.lstm_impl == "pallas":
+            if not self.use_peepholes:
+                raise NotImplementedError(
+                    "pallas path assumes peephole cells")
+            from rsrgan_tpu.ops.pallas_lstm import lstm_seq
+
+            out = lstm_seq(xw, lengths, w_h, proj, bias, w_i, w_f, w_o,
+                           self.forget_bias)
+            return jnp.swapaxes(out, 0, 1)
 
         if lengths is not None:
             step_mask = (jnp.arange(T)[:, None]
@@ -120,6 +131,7 @@ class StackedLstm(nn.Module):
     num_proj: int
     compute_dtype: Any = jnp.float32
     dropout_keep_prob: float = 1.0
+    lstm_impl: str = "scan"
 
     @nn.compact
     def __call__(self, inputs, lengths=None, train: bool = False):
@@ -127,6 +139,7 @@ class StackedLstm(nn.Module):
         for layer in range(self.num_layers):
             h = LstmCellP(self.num_units, self.num_proj,
                           compute_dtype=self.compute_dtype,
+                          lstm_impl=self.lstm_impl,
                           name=f"cell_{layer}")(h, lengths)
             if train and self.dropout_keep_prob < 1.0:
                 h = nn.Dropout(rate=1.0 - self.dropout_keep_prob,

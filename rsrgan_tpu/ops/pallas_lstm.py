@@ -1,0 +1,356 @@
+"""Fused Pallas TPU kernel for the peephole+projection LSTM recurrence.
+
+The scan-based cell (rsrgan_tpu/ops/lstm.py) lowers to an XLA while-loop
+that re-dispatches ~10 small ops per timestep; at T=500 that per-step
+overhead dominates. This kernel runs the ENTIRE sequence inside one
+Mosaic kernel: grid=(T,) executes sequentially on the core, the recurrent
+state lives in VMEM scratch, weights stay VMEM-resident for the whole
+sequence, and the per-step input projection xw_t streams in through the
+automatic block pipeline.
+
+Layout notes:
+* gate dimension padded per-gate to a multiple of 128 lanes
+  (U=760 -> 768) so gate slicing stays lane-aligned. Padded lanes carry
+  zeros end-to-end (tanh(0)=0 keeps padded cell state at 0).
+* the backward pass is a second kernel walking the grid in reverse
+  (index maps t -> T-1-t), recomputing gate activations from the saved
+  per-step states (c_hist/h_hist) and accumulating weight gradients
+  directly into revisited output blocks.
+* length masking matches dynamic_rnn: masked steps freeze state, zero
+  outputs, and contribute zero gradient.
+
+Used by LstmCellP via rsrgan_tpu.ops.lstm_seq (custom_vjp), selected with
+``lstm_impl='pallas'``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
+                w_i_ref, w_f_ref, w_o_ref,
+                out_ref, c_hist_ref, h_hist_ref,
+                c_scr, h_scr):
+    t = pl.program_id(0)
+    Up = c_scr.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        c_scr[:] = jnp.zeros_like(c_scr)
+        h_scr[:] = jnp.zeros_like(h_scr)
+
+    c_prev = c_scr[:]
+    h_prev = h_scr[:]
+
+    gates = (xw_ref[0]
+             + jnp.dot(h_prev, w_h_ref[:],
+                       preferred_element_type=jnp.float32)
+             + bias_ref[0])
+    i = gates[:, 0 * Up:1 * Up]
+    j = gates[:, 1 * Up:2 * Up]
+    f = gates[:, 2 * Up:3 * Up]
+    o = gates[:, 3 * Up:4 * Up]
+
+    w_i = w_i_ref[0]
+    w_f = w_f_ref[0]
+    w_o = w_o_ref[0]
+    # forget_bias is pre-folded into bias_ref's f quarter by the wrapper
+    c_new = (jax.nn.sigmoid(f + w_f * c_prev) * c_prev
+             + jax.nn.sigmoid(i + w_i * c_prev) * jnp.tanh(j))
+    m = jax.nn.sigmoid(o + w_o * c_new) * jnp.tanh(c_new)
+    h_new = jnp.dot(m, proj_ref[:], preferred_element_type=jnp.float32)
+
+    keep = mask_ref[0, 0][:, None]
+    c_keep = jnp.where(keep > 0, c_new, c_prev)
+    h_keep = jnp.where(keep > 0, h_new, h_prev)
+    c_scr[:] = c_keep
+    h_scr[:] = h_keep
+    out_ref[0] = jnp.where(keep > 0, h_new, 0.0)
+    c_hist_ref[0] = c_keep
+    h_hist_ref[0] = h_keep
+
+
+def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
+    T, B, G = xw.shape  # G = 4*Up
+    Up = G // 4
+    P = proj.shape[1]
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, G), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Up, P), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, P), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, Up), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, P), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, Up), jnp.float32),
+            pltpu.VMEM((B, P), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, Up), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, P), jnp.float32),
+        ],
+    )(xw, mask, w_h, proj, bias, w_i, w_f, w_o)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
+                w_h_ref, proj_ref, bias_ref, w_i_ref, w_f_ref, w_o_ref,
+                dxw_ref, dwh_ref, dproj_ref, dbias_ref,
+                dwi_ref, dwf_ref, dwo_ref,
+                dc_scr, dh_scr):
+    t = pl.program_id(0)          # 0..T-1, walking the sequence in REVERSE
+    T = pl.num_programs(0)
+    Up = dc_scr.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dproj_ref[:] = jnp.zeros_like(dproj_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwi_ref[:] = jnp.zeros_like(dwi_ref)
+        dwf_ref[:] = jnp.zeros_like(dwf_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+
+    first_step = t == T - 1      # sequence position 0
+    c_prev = jnp.where(first_step, 0.0, cprev_ref[0])
+    h_prev = jnp.where(first_step, 0.0, hprev_ref[0])
+    c_new = c_ref[0]             # post-mask == true c at valid steps
+    keep = mask_ref[0, 0][:, None] > 0
+
+    # recompute gate pre-activations
+    gates = (xw_ref[0]
+             + jnp.dot(h_prev, w_h_ref[:],
+                       preferred_element_type=jnp.float32)
+             + bias_ref[0])
+    i = gates[:, 0 * Up:1 * Up]
+    j = gates[:, 1 * Up:2 * Up]
+    f = gates[:, 2 * Up:3 * Up]
+    o = gates[:, 3 * Up:4 * Up]
+    w_i = w_i_ref[0]
+    w_f = w_f_ref[0]
+    w_o = w_o_ref[0]
+
+    si = jax.nn.sigmoid(i + w_i * c_prev)
+    sf = jax.nn.sigmoid(f + w_f * c_prev)
+    so = jax.nn.sigmoid(o + w_o * c_new)
+    tj = jnp.tanh(j)
+    tc = jnp.tanh(c_new)
+    m = so * tc
+
+    dh_total = dout_ref[0] + dh_scr[:]
+    # h = m @ proj
+    dm = jnp.dot(dh_total, proj_ref[:].T, preferred_element_type=jnp.float32)
+    dm = jnp.where(keep, dm, 0.0)
+    do_pre = dm * tc * so * (1.0 - so)
+    dc_total = (dc_scr[:] * jnp.where(keep, 1.0, 0.0)
+                + dm * so * (1.0 - tc * tc) + do_pre * w_o)
+    # NOTE: dc carried into a masked step passes through untouched below.
+
+    df_pre = dc_total * c_prev * sf * (1.0 - sf)
+    di_pre = dc_total * tj * si * (1.0 - si)
+    dj_pre = dc_total * si * (1.0 - tj * tj)
+    dc_prev = (dc_total * sf + df_pre * w_f + di_pre * w_i)
+
+    dgates = jnp.concatenate([di_pre, dj_pre, df_pre, do_pre], axis=1)
+    dgates = jnp.where(keep, dgates, 0.0)
+
+    m_masked = jnp.where(keep, m, 0.0)
+    dh_masked = jnp.where(keep, dh_total, 0.0)
+
+    dxw_ref[0] = dgates
+    dwh_ref[:] += jnp.dot(h_prev.T, dgates,
+                          preferred_element_type=jnp.float32)
+    dproj_ref[:] += jnp.dot(m_masked.T, dh_masked,
+                            preferred_element_type=jnp.float32)
+    dbias_ref[0] += jnp.sum(dgates, axis=0)
+    dwi_ref[0] += jnp.sum(di_pre * c_prev * jnp.where(keep, 1.0, 0.0),
+                          axis=0)
+    dwf_ref[0] += jnp.sum(df_pre * c_prev * jnp.where(keep, 1.0, 0.0),
+                          axis=0)
+    dwo_ref[0] += jnp.sum(do_pre * c_new * jnp.where(keep, 1.0, 0.0),
+                          axis=0)
+
+    dh_prev_new = jnp.dot(dgates, w_h_ref[:].T,
+                          preferred_element_type=jnp.float32)
+    # masked step: carries pass through unchanged
+    dc_scr[:] = jnp.where(keep, dc_prev, dc_scr[:])
+    dh_scr[:] = jnp.where(keep, dh_prev_new, dh_scr[:])
+
+
+def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
+                bias, w_i, w_f, w_o):
+    G = 4 * Up
+    rev3 = lambda t: (T - 1 - t, 0, 0)
+    # previous-step history: sequence index max(T-2-t, 0); the t==T-1
+    # (seq pos 0) case is zeroed in-kernel.
+    prev3 = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    const2 = lambda t: (0, 0)
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # xw
+            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
+            pl.BlockSpec((1, B, P), rev3, memory_space=pltpu.VMEM),   # dout
+            pl.BlockSpec((1, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((1, B, Up), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, P), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # dxw
+            pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),    # dW_h
+            pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, Up), jnp.float32),
+            pltpu.VMEM((B, P), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+            jax.ShapeDtypeStruct((P, G), jnp.float32),
+            jax.ShapeDtypeStruct((Up, P), jnp.float32),
+            jax.ShapeDtypeStruct((1, G), jnp.float32),
+            jax.ShapeDtypeStruct((1, Up), jnp.float32),
+            jax.ShapeDtypeStruct((1, Up), jnp.float32),
+            jax.ShapeDtypeStruct((1, Up), jnp.float32),
+        ],
+    )(xw, mask, dout, c_hist, c_hist, h_hist, w_h, proj, bias,
+      w_i, w_f, w_o)
+
+
+# ---------------------------------------------------------------------------
+# custom-vjp wrapper (padded-dim interface)
+# ---------------------------------------------------------------------------
+
+@jax.custom_vjp
+def lstm_seq_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
+    """Fused LSTM recurrence on PADDED gate dims.
+
+    xw [T,B,4Up] f32 (input projection incl. nothing else), mask [T,B]
+    f32 1/0, w_h [P,4Up], proj [Up,P], bias [1,4Up] (forget_bias already
+    folded into the f quarter), peepholes [1,Up]. Returns out [T,B,P].
+    """
+    out, _, _ = _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o)
+    return out
+
+
+def _lstm_seq_fwd(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
+    out, c_hist, h_hist = _fwd_pallas(xw, mask, w_h, proj, bias,
+                                      w_i, w_f, w_o)
+    return out, (xw, mask, c_hist, h_hist, w_h, proj, bias, w_i, w_f, w_o)
+
+
+def _lstm_seq_bwd(res, dout):
+    xw, mask, c_hist, h_hist, w_h, proj, bias, w_i, w_f, w_o = res
+    T, B, G = xw.shape
+    Up = G // 4
+    P = proj.shape[1]
+    dxw, dwh, dproj, dbias, dwi, dwf, dwo = _bwd_pallas(
+        T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj, bias,
+        w_i, w_f, w_o)
+    return (dxw, None, dwh, dproj, dbias, dwi, dwf, dwo)
+
+
+lstm_seq_pallas.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)
+
+
+# ---------------------------------------------------------------------------
+# unpadded convenience API used by LstmCellP
+# ---------------------------------------------------------------------------
+
+def pad_gate_dim(a: jnp.ndarray, U: int, Up: int) -> jnp.ndarray:
+    """Pad the last axis from 4*U to 4*Up, per gate."""
+    if U == Up:
+        return a
+    shape = a.shape[:-1]
+    a4 = a.reshape(shape + (4, U))
+    a4 = jnp.pad(a4, [(0, 0)] * len(shape) + [(0, 0), (0, Up - U)])
+    return a4.reshape(shape + (4 * Up,))
+
+
+def lstm_seq(xw, lengths, w_h, proj, bias, w_i, w_f, w_o,
+             forget_bias: float = 1.0):
+    """Run the fused recurrence with natural (unpadded) shapes.
+
+    xw [T,B,4U] f32, lengths [B] or None, w_h [P,4U], proj [U,P],
+    bias [4U], peepholes [U]. Returns out [T,B,P] f32.
+    """
+    T, B, G = xw.shape
+    U = G // 4
+    P = proj.shape[1]
+    Up = _round_up(U, 128)
+
+    fb = jnp.zeros((4, U), xw.dtype).at[2].set(forget_bias).reshape(-1)
+    bias_eff = pad_gate_dim((bias + fb)[None, :], U, Up)
+    xw_p = pad_gate_dim(xw, U, Up)
+    w_h_p = pad_gate_dim(w_h, U, Up)
+    proj_p = jnp.pad(proj, ((0, Up - U), (0, 0))) if Up != U else proj
+    peep = [jnp.pad(w[None, :], ((0, 0), (0, Up - U))) if Up != U
+            else w[None, :] for w in (w_i, w_f, w_o)]
+    if lengths is not None:
+        mask = (jnp.arange(T)[:, None]
+                < lengths[None, :].astype(jnp.int32)).astype(jnp.float32)
+    else:
+        mask = jnp.ones((T, B), jnp.float32)
+    mask = mask[:, None, :]  # [T, 1, B] — satisfies TPU block tiling rules
+    return lstm_seq_pallas(xw_p, mask, w_h_p, proj_p, bias_eff, *peep)
