@@ -32,6 +32,11 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    cache_dir = os.path.expanduser("~/.cache/rsrgan_xla")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     from rsrgan_tpu.models import get_discriminator, get_generator
     from rsrgan_tpu.training import GanTrainer
 

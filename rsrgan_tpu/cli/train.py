@@ -43,6 +43,8 @@ from rsrgan_tpu.training import (GanTrainer, ImprovementTracker, MseTrainer,
 GAN_METRICS = ("d_rl_loss", "d_fk_loss", "d_loss", "g_adv_loss",
                "g_mse_loss", "g_l2_loss", "g_loss")
 MSE_METRICS = ("g_mse_loss", "g_l2_loss", "g_loss")
+SEGAN_METRICS = ("d_rl_loss", "d_fk_loss", "d_loss", "g_adv_loss",
+                 "g_l1_loss", "g_loss")
 
 
 def log(msg: str) -> None:
@@ -66,6 +68,23 @@ class MetricsWriter:
 
 
 def build_trainer(args, compute_dtype):
+    if args.trainer == "segan":
+        from rsrgan_tpu.models.segan import (SeganAEGenerator,
+                                             SeganDiscriminator,
+                                             SeganWaveGenerator)
+        from rsrgan_tpu.training.segan import SeganTrainer
+        depths = tuple(int(d) for d in args.g_enc_depths.split(","))
+        if args.g_type in ("ae", "dnn", "lstm"):  # run_segan.sh: g_type=ae
+            gen = SeganAEGenerator(units=args.output_dim,
+                                   enc_depths=depths,
+                                   do_prelu=args.g_nl == "prelu",
+                                   bias_deconv=args.bias_deconv,
+                                   bias_downconv=args.bias_downconv)
+        else:
+            gen = SeganWaveGenerator(units=args.output_dim)
+        disc = SeganDiscriminator(num_fmaps=depths)
+        return SeganTrainer(gen, disc, disc_updates=args.disc_updates,
+                            gen_updates=args.gen_updates)
     gen = get_generator(args.g_type, input_dim=args.input_dim,
                         output_dim=args.output_dim,
                         left_context=args.left_context,
@@ -107,13 +126,14 @@ def build_trainer(args, compute_dtype):
 
 def model_name(args) -> str:
     return {"gan_rnn": "GAN_RNN", "gan_dnn": "GAN", "rnn": "RNNTrainer",
-            "dnn": "DNNTrainer"}[args.trainer]
+            "dnn": "DNNTrainer", "segan": "SEGAN"}[args.trainer]
 
 
 def make_hparams(args, num_devices: int):
     return {"g_lr": jnp.float32(args.g_learning_rate * num_devices),
             "d_lr": jnp.float32(args.d_learning_rate * num_devices),
             "mse_lambda": jnp.float32(args.init_mse_weight),
+            "l1_lambda": jnp.float32(args.init_l1_weight),
             "disc_noise_std": jnp.float32(args.init_disc_noise_std),
             "d_real": jnp.float32(1.0), "d_fake": jnp.float32(0.0)}
 
@@ -125,6 +145,38 @@ def _fmt(metrics: dict, keys) -> str:
 def _avg(accum: list) -> dict:
     keys = accum[0].keys()
     return {k: float(np.mean([float(m[k]) for m in accum])) for k in keys}
+
+
+def show_all_variables(state) -> None:
+    """Parameter-count summary (utils/misc.py:37-40 parity)."""
+    def count(tree):
+        return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(tree))
+
+    if hasattr(state, "g"):
+        log(f"G variables: {count(state.g.params) / 1e6:.2f}M params; "
+            f"D variables: {count(state.d.params) / 1e6:.2f}M params")
+    else:
+        log(f"G variables: {count(state.net.params) / 1e6:.2f}M params")
+
+
+class Profiler:
+    """Optional XLA trace capture around the first training iteration
+    (--profile_dir); view with TensorBoard or xprof."""
+
+    def __init__(self, profile_dir):
+        self.dir = profile_dir
+        self.active = False
+
+    def start(self):
+        if self.dir and not self.active:
+            jax.profiler.start_trace(self.dir)
+            self.active = True
+
+    def stop(self):
+        if self.active:
+            jax.profiler.stop_trace()
+            self.active = False
+            log(f"Wrote profiler trace to {self.dir}")
 
 
 # ---------------------------------------------------------------------------
@@ -172,8 +224,10 @@ def run_sequence_training(args) -> int:
     if mesh is not None:
         state = replicate(mesh, state)
 
+    show_all_variables(state)
     hp = make_hparams(args, num_devices)
     tracker = ImprovementTracker(args.end_improve)
+    profiler = Profiler(args.profile_dir)
     tr_writer = MetricsWriter(args.save_dir, "train")
     cv_writer = MetricsWriter(args.save_dir, "eval")
     step_rng = jax.random.PRNGKey(args.seed + 1)
@@ -182,6 +236,8 @@ def run_sequence_training(args) -> int:
     steps_per_call = max(1, args.steps_per_call)
 
     for iteration in range(max_iters):
+        if iteration == 1:
+            profiler.start()   # capture the steady-state second iteration
         start = datetime.datetime.now()
         tr_accum, cv_accum = [], []
 
@@ -218,13 +274,43 @@ def run_sequence_training(args) -> int:
                                                     hp["g_lr"], sub)
             tr_accum.extend([m] * len(batches))
 
-        for batch in ThreadedPrefetcher(iter(tr_batches), 32):
-            key = batch.inputs.shape
-            pending.setdefault(key, []).append(batch)
-            if len(pending[key]) == steps_per_call:
-                run_group(pending.pop(key))
-        for group in pending.values():
-            run_group(group)
+        if is_gan and not args.same_batch:
+            # graph-fed variant: D and G consume different minibatches
+            # (models/gan_rnn.py:66-95, scripts/train_gan_rnn.py:21-80)
+            d_accum, g_accum = [], []
+            stream = iter(ThreadedPrefetcher(iter(tr_batches), 32))
+
+            def next_arrays():
+                b = next(stream)
+                arrays = (jnp.asarray(b.inputs), jnp.asarray(b.labels),
+                          jnp.asarray(b.lengths))
+                return shard_batch(mesh, arrays) if mesh is not None \
+                    else arrays
+
+            try:
+                while True:
+                    for _ in range(args.disc_updates):
+                        step_rng, sub = jax.random.split(step_rng)
+                        state, m = trainer.d_step(state, *next_arrays(),
+                                                  hp, sub)
+                        d_accum.append(m)
+                    for _ in range(args.gen_updates):
+                        step_rng, sub = jax.random.split(step_rng)
+                        state, m = trainer.g_step(state, *next_arrays(),
+                                                  hp, sub)
+                        g_accum.append(m)
+            except StopIteration:
+                pass
+            if d_accum and g_accum:
+                tr_accum.append({**_avg(d_accum), **_avg(g_accum)})
+        else:
+            for batch in ThreadedPrefetcher(iter(tr_batches), 32):
+                key = batch.inputs.shape
+                pending.setdefault(key, []).append(batch)
+                if len(pending[key]) == steps_per_call:
+                    run_group(pending.pop(key))
+            for group in pending.values():
+                run_group(group)
         for batch in ThreadedPrefetcher(iter(cv_batches), 32):
             arrays = (jnp.asarray(batch.inputs), jnp.asarray(batch.labels),
                       jnp.asarray(batch.lengths))
@@ -250,6 +336,7 @@ def run_sequence_training(args) -> int:
             f"{_fmt(cv_m, metric_keys)}")
         tr_writer.write(iteration + 1, tr_m)
         cv_writer.write(iteration + 1, cv_m)
+        profiler.stop()
 
         # schedules (train_gan_rnn_placeholder.py:524-533)
         hp["g_lr"] = jnp.float32(exponential_decay(
@@ -283,6 +370,7 @@ def run_sequence_training(args) -> int:
 def run_frame_training(args) -> int:
     trainer = build_trainer(args, jnp.float32)
     is_gan = args.trainer == "gan_dnn"
+    is_segan = args.trainer == "segan"
     name = model_name(args)
 
     tr_store = UtteranceStore(read_list_file(args.tr_list_file))
@@ -311,12 +399,14 @@ def run_frame_training(args) -> int:
     if mesh is not None:
         state = replicate(mesh, state)
 
+    show_all_variables(state)
     hp = make_hparams(args, num_devices)
     g_lr = float(hp["g_lr"])
     tr_writer = MetricsWriter(args.save_dir, "train")
     cv_writer = MetricsWriter(args.save_dir, "eval")
     step_rng = jax.random.PRNGKey(args.seed + 1)
-    metric_keys = GAN_METRICS if is_gan else MSE_METRICS
+    metric_keys = (SEGAN_METRICS if is_segan
+                   else GAN_METRICS if is_gan else MSE_METRICS)
 
     def eval_epoch(state):
         accum = []
@@ -324,7 +414,10 @@ def run_frame_training(args) -> int:
             arrays = (jnp.asarray(x), jnp.asarray(y))
             if mesh is not None:
                 arrays = shard_batch(mesh, arrays)
-            if is_gan:
+            if is_segan:
+                accum.append(trainer.eval_step(state, *arrays, hp,
+                                               jax.random.PRNGKey(0)))
+            elif is_gan:
                 k = jax.random.PRNGKey(0)
                 accum.append(trainer.eval_step(state, *arrays, None, hp, k))
             else:
@@ -344,7 +437,9 @@ def run_frame_training(args) -> int:
             if mesh is not None:
                 arrays = shard_batch(mesh, arrays)
             step_rng, sub = jax.random.split(step_rng)
-            if is_gan:
+            if is_segan:
+                state, m = trainer.train_step(state, *arrays, hp, sub)
+            elif is_gan:
                 state, m = trainer.train_step(state, *arrays, None, hp, sub)
             else:
                 state, m = trainer.train_step(state, *arrays, None,
@@ -435,7 +530,12 @@ def run_decode(args) -> int:
     writer = ArkWriter(os.path.join(out_dir, "feats.scp"))
     ark_path = os.path.join(out_dir, "feats.ark")
 
-    if hasattr(state, "g"):
+    if hasattr(state, "g") and args.trainer == "segan":
+        g_params = state.g.params
+
+        def infer(inputs, lengths):
+            return trainer.infer_step(g_params, inputs)
+    elif hasattr(state, "g"):
         g_params = state.g.params
 
         def infer(inputs, lengths):
@@ -476,7 +576,7 @@ def str2bool(v) -> bool:
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rsrgan_tpu.cli.train")
     p.add_argument("--trainer", default="gan_rnn",
-                   choices=["gan_rnn", "gan_dnn", "rnn", "dnn"])
+                   choices=["gan_rnn", "gan_dnn", "rnn", "dnn", "segan"])
     p.add_argument("--decode", action="store_true", default=False)
     p.add_argument("--data_dir", type=str, default=None)
     p.add_argument("--tr_list_file", type=str, default=None)
@@ -495,6 +595,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_threads", type=int, default=8)
     p.add_argument("--save_dir", type=str, default="exp/gan_rnn")
     p.add_argument("--init_mse_weight", type=float, default=1.0)
+    p.add_argument("--init_l1_weight", type=float, default=100.0)
+    p.add_argument("--g_nl", default="leaky", choices=["leaky", "prelu"])
+    p.add_argument("--bias_deconv", type=str2bool, nargs="?", default=True)
+    p.add_argument("--bias_downconv", type=str2bool, nargs="?",
+                   default=False)
+    p.add_argument("--deconv_type", default="deconv",
+                   choices=["deconv", "nn_deconv"])
+    p.add_argument("--g_enc_depths",
+                   default="16,32,32,64,64,128,128,256,256,512,1024",
+                   help="comma list of SEGAN encoder/D depths")
     p.add_argument("--g_type", type=str, default="lstm")
     p.add_argument("--disc_updates", type=int, default=1)
     p.add_argument("--gen_updates", type=int, default=2)
@@ -514,17 +624,37 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 matmuls in models (recommended on TPU)")
     p.add_argument("--steps_per_call", type=int, default=8,
                    help="same-bucket train steps fused under one jit")
+    p.add_argument("--same_batch", type=str2bool, nargs="?", default=True,
+                   help="True: placeholder-trainer semantics (D and G on "
+                        "the same minibatch); False: graph-fed semantics "
+                        "(each update pulls a fresh batch)")
     p.add_argument("--lstm_impl", default="scan",
                    choices=["scan", "pallas"],
                    help="LSTM recurrence: lax.scan or fused Pallas kernel")
     p.add_argument("--moving_average", type=str2bool, nargs="?",
                    default=False, help="decode with EMA shadow params")
     p.add_argument("--seed", type=int, default=777)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="capture an XLA profiler trace of iteration 2")
     return p
+
+
+def enable_compilation_cache() -> None:
+    """Persistent XLA/Mosaic compile cache: bucket-shape compiles are paid
+    once per machine, not once per run (slow single-core host here)."""
+    cache_dir = os.environ.get(
+        "RSRGAN_XLA_CACHE", os.path.expanduser("~/.cache/rsrgan_xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception as e:  # cache is best-effort
+        log(f"WARNING: compilation cache disabled ({e})")
 
 
 def main(argv=None) -> int:
     args, unparsed = build_parser().parse_known_args(argv)
+    enable_compilation_cache()
     log("*** Parsed arguments ***")
     log(json.dumps(vars(args), indent=1, default=str))
     if unparsed:
@@ -533,7 +663,7 @@ def main(argv=None) -> int:
         return run_decode(args)
     if args.trainer in ("gan_rnn", "rnn"):
         return run_sequence_training(args)
-    return run_frame_training(args)
+    return run_frame_training(args)  # dnn / gan_dnn / segan
 
 
 if __name__ == "__main__":

@@ -200,6 +200,33 @@ class GanTrainer:
         return state, metrics
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def d_step(self, state: GanState, inputs, labels, lengths, hp, rng):
+        """One discriminator update alone (graph-fed trainer semantics:
+        models/gan_rnn.py feeds D and G from DIFFERENT minibatches)."""
+        rngs = jax.random.split(rng, 3)
+        g_out = jax.lax.stop_gradient(
+            self._g_apply(state.g.params, inputs, lengths, True, rngs[0]))
+        (_, m), grads = jax.value_and_grad(self._d_loss_fn, has_aux=True)(
+            state.d.params, g_out, inputs, labels, lengths, hp,
+            (rngs[1], rngs[2]))
+        state = state.replace(d=state.d.apply_gradients(
+            grads, self.d_tx, hp["d_lr"], self.ema_decay))
+        return state, m
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+    def g_step(self, state: GanState, inputs, labels, lengths, hp, rng):
+        """One generator update alone (graph-fed trainer semantics)."""
+        rngs = jax.random.split(rng, 2)
+        (_, m), grads = jax.value_and_grad(self._g_loss_fn, has_aux=True)(
+            state.g.params, state.d.params, inputs, labels, lengths, hp,
+            (rngs[0], rngs[1]))
+        state = state.replace(
+            g=state.g.apply_gradients(grads, self.g_tx, hp["g_lr"],
+                                      self.ema_decay),
+            step=state.step + 1)
+        return state, m
+
+    @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def train_multi_step(self, state: GanState, inputs, labels, lengths,
                          hp, rng):
         """N train steps under one jit: scan over stacked same-bucket
