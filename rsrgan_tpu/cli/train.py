@@ -247,20 +247,24 @@ def run_sequence_training(args) -> int:
 
         def run_group(batches):
             nonlocal state, step_rng
-            step_rng, sub = jax.random.split(step_rng)
-            if len(batches) == 1:
-                b = batches[0]
-                arrays = (jnp.asarray(b.inputs), jnp.asarray(b.labels),
-                          jnp.asarray(b.lengths))
-                if mesh is not None:
-                    arrays = shard_batch(mesh, arrays)
-                if is_gan:
-                    state, m = trainer.train_step(state, *arrays, hp, sub)
-                else:
-                    state, m = trainer.train_step(state, *arrays,
-                                                  hp["g_lr"], sub)
-                tr_accum.append(m)
+            if len(batches) < steps_per_call:
+                # partial group: run single steps — stacking would compile a
+                # fresh program for every distinct group size
+                for b in batches:
+                    step_rng, sub = jax.random.split(step_rng)
+                    arrays = (jnp.asarray(b.inputs), jnp.asarray(b.labels),
+                              jnp.asarray(b.lengths))
+                    if mesh is not None:
+                        arrays = shard_batch(mesh, arrays)
+                    if is_gan:
+                        state, m = trainer.train_step(state, *arrays, hp,
+                                                      sub)
+                    else:
+                        state, m = trainer.train_step(state, *arrays,
+                                                      hp["g_lr"], sub)
+                    tr_accum.append(m)
                 return
+            step_rng, sub = jax.random.split(step_rng)
             stacked = (np.stack([b.inputs for b in batches]),
                        np.stack([b.labels for b in batches]),
                        np.stack([b.lengths for b in batches]))

@@ -62,7 +62,7 @@ class GanTrainer:
                  l2_scale: float = 0.0, max_grad_norm: Optional[float] = 15.0,
                  ema_decay: float = 0.9999, g_optimizer: str = "adam",
                  d_optimizer: str = "sgd", d_conditioned: bool = False,
-                 frame_mode: bool = False):
+                 frame_mode: bool = False, share_g_forward=None):
         self.generator = generator
         self.discriminator = discriminator
         self.output_dim = output_dim
@@ -74,6 +74,7 @@ class GanTrainer:
         self.ema_decay = ema_decay
         self.d_conditioned = d_conditioned
         self.frame_mode = frame_mode
+        self.share_g_forward = share_g_forward  # None = auto
         self.g_tx = make_optimizer(g_optimizer, max_grad_norm)
         self.d_tx = make_optimizer(d_optimizer, max_grad_norm)
 
@@ -171,26 +172,68 @@ class GanTrainer:
                                 + 3 * self.gen_updates)
         r = iter(range(len(rngs)))
 
-        for _ in range(self.disc_updates):
+        # When G is deterministic given its params (no dropout — the
+        # flagship config), every D step's fake input and the FIRST G
+        # step's forward are the same computation on the same G params.
+        # Compute it once with jax.vjp: the D steps reuse the primal, the
+        # first G step pulls its parameter gradient back through the saved
+        # linearization instead of re-running forward+backward from x.
+        share = self._share_g_forward()
+
+        if share:
             dropout_rng = rngs[next(r)]
-            g_out = self._g_apply(state.g.params, inputs, lengths, True,
-                                  dropout_rng)
-            g_out = jax.lax.stop_gradient(g_out)
+            g_out, g_vjp = jax.vjp(
+                lambda p: self._g_apply(p, inputs, lengths, True,
+                                        dropout_rng),
+                state.g.params)
+            g_out_const = jax.lax.stop_gradient(g_out)
+
+        for _ in range(self.disc_updates):
+            if share:
+                fake = g_out_const
+            else:
+                dropout_rng = rngs[next(r)]
+                fake = jax.lax.stop_gradient(self._g_apply(
+                    state.g.params, inputs, lengths, True, dropout_rng))
             (_, m), grads = jax.value_and_grad(
                 self._d_loss_fn, has_aux=True)(
-                    state.d.params, g_out, inputs, labels, lengths, hp,
+                    state.d.params, fake, inputs, labels, lengths, hp,
                     (rngs[next(r)], rngs[next(r)]))
             state = state.replace(d=state.d.apply_gradients(
                 grads, self.d_tx, hp["d_lr"], self.ema_decay))
             for k, v in m.items():
                 metrics[k] = metrics.get(k, 0.0) + v / self.disc_updates
 
-        for _ in range(self.gen_updates):
-            (_, m), grads = jax.value_and_grad(
-                self._g_loss_fn, has_aux=True)(
-                    state.g.params, state.d.params, inputs, labels, lengths,
-                    hp, (rngs[next(r)], rngs[next(r)]))
-            _ = next(r)
+        for g_iter in range(self.gen_updates):
+            if share and g_iter == 0:
+                d_params = state.d.params
+                fk_rng = rngs[next(r)]
+                _ = next(r)
+
+                def head(g_out):
+                    d_fk = self._d_apply(d_params, inputs, g_out, lengths,
+                                         hp["disc_noise_std"], True, fk_rng)
+                    adv = lsgan_g_adv_loss(d_fk, hp["d_real"])
+                    mse = g_mse_loss(g_out, labels, self.output_dim)
+                    return adv + hp["mse_lambda"] * mse, (adv, mse)
+
+                (_, (adv, mse)), dgout = jax.value_and_grad(
+                    head, has_aux=True)(g_out)
+                (grads,) = g_vjp(dgout)
+                l2 = l2_loss_nonbias(state.g.params, self.l2_scale)
+                if self.l2_scale > 0.0:
+                    l2_grads = jax.grad(l2_loss_nonbias)(state.g.params,
+                                                         self.l2_scale)
+                    grads = jax.tree.map(jnp.add, grads, l2_grads)
+                m = {"g_adv_loss": adv, "g_mse_loss": mse,
+                     "g_l2_loss": l2,
+                     "g_loss": adv + hp["mse_lambda"] * mse + l2}
+            else:
+                (_, m), grads = jax.value_and_grad(
+                    self._g_loss_fn, has_aux=True)(
+                        state.g.params, state.d.params, inputs, labels,
+                        lengths, hp, (rngs[next(r)], rngs[next(r)]))
+                _ = next(r)
             state = state.replace(g=state.g.apply_gradients(
                 grads, self.g_tx, hp["g_lr"], self.ema_decay))
             for k, v in m.items():
@@ -198,6 +241,18 @@ class GanTrainer:
 
         state = state.replace(step=state.step + 1)
         return state, metrics
+
+    def _share_g_forward(self) -> bool:
+        """Safe iff G has no sample-dependent stochastic layers (dropout).
+        Matches the reference exactly in that case: its D-step and G-step
+        sess.runs recompute identical G forwards (same variables, same
+        feed_dict, keep_prob 1.0)."""
+        if self.share_g_forward is not None:
+            return bool(self.share_g_forward)
+        if self.disc_updates < 1 or self.gen_updates < 1:
+            return False
+        keep_prob = getattr(self.generator, "keep_prob", 1.0)
+        return float(keep_prob) >= 1.0
 
     @functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
     def d_step(self, state: GanState, inputs, labels, lengths, hp, rng):

@@ -254,3 +254,30 @@ class TestMseTrainer:
         assert "M-13.ckpt" in files and "M-3.ckpt" not in files
         restored = load_checkpoint(str(tmp_path), "M", state)
         assert restored is not None
+
+
+class TestSharedGForward:
+    def test_shared_forward_matches_unshared(self, rng):
+        """With a deterministic G and disc_noise_std=0, the vjp-shared
+        forward must produce bit-equal parameter trajectories."""
+        x, y, lengths = make_batch(rng)
+        hp = dict(HP)
+        hp["disc_noise_std"] = jnp.float32(0.0)
+        results = []
+        for share in (True, False):
+            trainer = tiny_gan_trainer()
+            trainer.share_g_forward = share
+            state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+            for i in range(3):
+                state, m = trainer.train_step(state, x, y, lengths, hp,
+                                              jax.random.PRNGKey(i))
+            results.append((jax.tree.map(np.asarray, state.g.params),
+                            jax.tree.map(np.asarray, state.d.params),
+                            {k: float(v) for k, v in m.items()}))
+        (g1, d1, m1), (g2, d2, m2) = results
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(d1), jax.tree.leaves(d2)):
+            np.testing.assert_allclose(a, b, atol=1e-6)
+        for k in m1:
+            assert abs(m1[k] - m2[k]) < 1e-5 * (1 + abs(m1[k])), k
