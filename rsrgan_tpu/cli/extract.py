@@ -16,6 +16,7 @@ itself.
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 import sys
 
@@ -24,9 +25,60 @@ import numpy as np
 from rsrgan_tpu.data.cmvn import CmvnAccumulator, write_kaldi_cmvn
 from rsrgan_tpu.data.kaldi_ark import ArkWriter
 from rsrgan_tpu.features import (FrameOptions, MfccOptions,
-                                 SpectrogramOptions, compute_mfcc_np,
-                                 compute_spectrogram_np)
+                                 SpectrogramOptions, compute_mfcc,
+                                 compute_spectrogram, num_frames)
 from rsrgan_tpu.sim.wavio import read_wav
+
+FRAME_PAD = 200  # jit shapes quantized to 2-second frame blocks
+
+
+class JitExtractor:
+    """Compiled feature extraction over a small set of padded lengths.
+
+    Waves are zero-padded so the frame count is a FRAME_PAD multiple; one
+    jitted program per padded length serves the whole corpus (with the
+    persistent compile cache, across runs too).
+    """
+
+    def __init__(self, feat_type: str, frame_opts: FrameOptions,
+                 use_dither: bool):
+        import jax
+
+        self.jax = jax
+        self.feat_type = feat_type
+        self.frame_opts = frame_opts
+        self.use_dither = use_dither
+
+    @functools.lru_cache(maxsize=None)
+    def _fn(self, padded_samples: int):
+        jax = self.jax
+        if self.feat_type == "spectrogram":
+            opts = SpectrogramOptions(self.frame_opts)
+            compute = compute_spectrogram
+        else:
+            opts = MfccOptions(frame_opts=self.frame_opts)
+            compute = compute_mfcc
+        if self.use_dither:
+            return jax.jit(lambda w, key: compute(w, opts, key))
+        return jax.jit(lambda w: compute(w, opts))
+
+    def __call__(self, wave: np.ndarray, seed: int) -> np.ndarray:
+        opts = self.frame_opts
+        n_frames = num_frames(len(wave), opts)
+        if n_frames == 0:
+            return np.zeros((0, 257 if self.feat_type == "spectrogram"
+                             else 40), np.float32)
+        pad_frames = -(-n_frames // FRAME_PAD) * FRAME_PAD
+        padded_samples = opts.window_size + opts.window_shift * (
+            pad_frames - 1)
+        padded = np.zeros(padded_samples, np.float32)
+        padded[:len(wave)] = wave
+        if self.use_dither:
+            feats = self._fn(padded_samples)(
+                padded, self.jax.random.PRNGKey(seed))
+        else:
+            feats = self._fn(padded_samples)(padded)
+        return np.asarray(feats)[:n_frames]
 
 
 def main(argv=None) -> int:
@@ -49,6 +101,8 @@ def main(argv=None) -> int:
     writer = ArkWriter(scp_path)
     acc = None
 
+    extractor = JitExtractor(args.feat_type, frame_opts, args.dither > 0)
+
     with open(args.wav_scp) as f:
         entries = [line.strip().split(None, 1) for line in f if line.strip()]
     for idx, (utt_id, wav_path) in enumerate(entries):
@@ -56,13 +110,7 @@ def main(argv=None) -> int:
         if rate != frame_opts.samp_freq:
             print(f"WARNING: {utt_id} rate {rate} != "
                   f"{frame_opts.samp_freq:g}", file=sys.stderr)
-        seed = (args.dither_seed + idx) if args.dither > 0 else None
-        if args.feat_type == "spectrogram":
-            feats = compute_spectrogram_np(
-                wave, SpectrogramOptions(frame_opts), seed=seed)
-        else:
-            feats = compute_mfcc_np(
-                wave, MfccOptions(frame_opts=frame_opts), seed=seed)
+        feats = extractor(wave, args.dither_seed + idx)
         if acc is None and args.accumulate_cmvn:
             acc = CmvnAccumulator(feats.shape[1])
         if acc is not None:

@@ -118,6 +118,22 @@ def cmd_verify_store(args) -> int:
     return 1 if failed else 0
 
 
+def cmd_select_data(args) -> int:
+    """Filter a raw text table to the utterances named in a key list
+    (utils/select_data.py:12-40)."""
+    with open(args.key_list) as f:
+        keys = {line.split()[0] for line in f if line.strip()}
+    kept = 0
+    with open(args.raw_text) as fin, open(args.output, "w") as fout:
+        for line in fin:
+            parts = line.split()
+            if parts and parts[0] in keys:
+                fout.write(line)
+                kept += 1
+    print(f"Kept {kept}/{len(keys)} keyed lines -> {args.output}")
+    return 0
+
+
 def cmd_from_tfrecords(args) -> int:
     """Repack reference TFRecords (SequenceExamples) into a .rtu store."""
     from rsrgan_tpu.data.tfrecords_compat import convert_tfrecords_to_store
@@ -171,6 +187,12 @@ def build_parser() -> argparse.ArgumentParser:
     v = sub.add_parser("verify-store")
     v.add_argument("stores", nargs="+")
     v.set_defaults(func=cmd_verify_store)
+
+    sd = sub.add_parser("select-data")
+    sd.add_argument("--key_list", required=True)
+    sd.add_argument("--raw_text", required=True)
+    sd.add_argument("--output", required=True)
+    sd.set_defaults(func=cmd_select_data)
 
     t = sub.add_parser("from-tfrecords")
     t.add_argument("--tfrecords", nargs="+", required=True)
