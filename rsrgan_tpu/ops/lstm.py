@@ -22,13 +22,13 @@ TPU-first design decisions:
   glorot-initialized as one matrix, like TF's single ``kernel`` variable, so
   initialization statistics line up.
 
-An optional Pallas fused-step kernel can be slotted in via ``step_impl``
+The fused Pallas kernel backend is selected with ``lstm_impl='pallas'``
 (see rsrgan_tpu/ops/pallas_lstm.py).
 """
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Tuple
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -83,7 +83,7 @@ class LstmCellP(nn.Module):
             from rsrgan_tpu.ops.pallas_lstm import lstm_seq
 
             out = lstm_seq(xw, lengths, w_h, proj, bias, w_i, w_f, w_o,
-                           self.forget_bias)
+                           self.forget_bias, compute_dtype=cdt)
             return jnp.swapaxes(out, 0, 1)
 
         if lengths is not None:

@@ -19,18 +19,14 @@ Layout notes:
 * length masking matches dynamic_rnn: masked steps freeze state, zero
   outputs, and contribute zero gradient.
 
-Used by LstmCellP via rsrgan_tpu.ops.lstm_seq (custom_vjp), selected with
+Used by LstmCellP via ``lstm_seq`` (custom_vjp), selected with
 ``lstm_impl='pallas'``.
 """
 
 from __future__ import annotations
 
-import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -58,8 +54,9 @@ def _fwd_kernel(xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
     c_prev = c_scr[:]
     h_prev = h_scr[:]
 
+    wdt = w_h_ref.dtype  # f32 or bf16 (matmul inputs follow the weights)
     gates = (xw_ref[0]
-             + jnp.dot(h_prev, w_h_ref[:],
+             + jnp.dot(h_prev.astype(wdt), w_h_ref[:],
                        preferred_element_type=jnp.float32)
              + bias_ref[0])
     i = gates[:, 0 * Up:1 * Up]
@@ -74,7 +71,8 @@ def _fwd_kernel(xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
     c_new = (jax.nn.sigmoid(f + w_f * c_prev) * c_prev
              + jax.nn.sigmoid(i + w_i * c_prev) * jnp.tanh(j))
     m = jax.nn.sigmoid(o + w_o * c_new) * jnp.tanh(c_new)
-    h_new = jnp.dot(m, proj_ref[:], preferred_element_type=jnp.float32)
+    h_new = jnp.dot(m.astype(wdt), proj_ref[:],
+                    preferred_element_type=jnp.float32)
 
     keep = mask_ref[0, 0][:, None]
     c_keep = jnp.where(keep > 0, c_new, c_prev)
@@ -165,8 +163,9 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     keep = mask_ref[0, 0][:, None] > 0
 
     # recompute gate pre-activations
+    wdt = w_h_ref.dtype
     gates = (xw_ref[0]
-             + jnp.dot(h_prev, w_h_ref[:],
+             + jnp.dot(h_prev.astype(wdt), w_h_ref[:],
                        preferred_element_type=jnp.float32)
              + bias_ref[0])
     i = gates[:, 0 * Up:1 * Up]
@@ -186,7 +185,8 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
 
     dh_total = dout_ref[0] + dh_scr[:]
     # h = m @ proj
-    dm = jnp.dot(dh_total, proj_ref[:].T, preferred_element_type=jnp.float32)
+    dm = jnp.dot(dh_total.astype(wdt), proj_ref[:].T,
+                 preferred_element_type=jnp.float32)
     dm = jnp.where(keep, dm, 0.0)
     do_pre = dm * tc * so * (1.0 - so)
     dc_total = (dc_scr[:] * jnp.where(keep, 1.0, 0.0)
@@ -205,9 +205,9 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     dh_masked = jnp.where(keep, dh_total, 0.0)
 
     dxw_ref[0] = dgates
-    dwh_ref[:] += jnp.dot(h_prev.T, dgates,
+    dwh_ref[:] += jnp.dot(h_prev.T.astype(wdt), dgates.astype(wdt),
                           preferred_element_type=jnp.float32)
-    dproj_ref[:] += jnp.dot(m_masked.T, dh_masked,
+    dproj_ref[:] += jnp.dot(m_masked.T.astype(wdt), dh_masked.astype(wdt),
                             preferred_element_type=jnp.float32)
     dbias_ref[0] += jnp.sum(dgates, axis=0)
     dwi_ref[0] += jnp.sum(di_pre * c_prev * jnp.where(keep, 1.0, 0.0),
@@ -217,7 +217,7 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     dwo_ref[0] += jnp.sum(do_pre * c_new * jnp.where(keep, 1.0, 0.0),
                           axis=0)
 
-    dh_prev_new = jnp.dot(dgates, w_h_ref[:].T,
+    dh_prev_new = jnp.dot(dgates.astype(wdt), w_h_ref[:].T,
                           preferred_element_type=jnp.float32)
     # masked step: carries pass through unchanged
     dc_scr[:] = jnp.where(keep, dc_prev, dc_scr[:])
@@ -308,7 +308,8 @@ def _lstm_seq_bwd(res, dout):
     dxw, dwh, dproj, dbias, dwi, dwf, dwo = _bwd_pallas(
         T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj, bias,
         w_i, w_f, w_o)
-    return (dxw, None, dwh, dproj, dbias, dwi, dwf, dwo)
+    return (dxw, None, dwh.astype(w_h.dtype), dproj.astype(proj.dtype),
+            dbias, dwi, dwf, dwo)
 
 
 lstm_seq_pallas.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)
@@ -329,16 +330,20 @@ def pad_gate_dim(a: jnp.ndarray, U: int, Up: int) -> jnp.ndarray:
 
 
 def lstm_seq(xw, lengths, w_h, proj, bias, w_i, w_f, w_o,
-             forget_bias: float = 1.0):
+             forget_bias: float = 1.0, compute_dtype=jnp.float32):
     """Run the fused recurrence with natural (unpadded) shapes.
 
     xw [T,B,4U] f32, lengths [B] or None, w_h [P,4U], proj [U,P],
-    bias [4U], peepholes [U]. Returns out [T,B,P] f32.
+    bias [4U], peepholes [U]. Returns out [T,B,P] f32. ``compute_dtype``
+    (f32/bf16) sets the matmul operand precision inside the kernel;
+    state, gates and gradients stay f32.
     """
     T, B, G = xw.shape
     U = G // 4
     P = proj.shape[1]
     Up = _round_up(U, 128)
+    w_h = w_h.astype(compute_dtype)
+    proj = proj.astype(compute_dtype)
 
     fb = jnp.zeros((4, U), xw.dtype).at[2].set(forget_bias).reshape(-1)
     bias_eff = pad_gate_dim((bias + fb)[None, :], U, Up)

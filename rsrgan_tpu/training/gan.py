@@ -24,7 +24,7 @@ Adam for both nets, no clipping.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import flax.struct
 import jax

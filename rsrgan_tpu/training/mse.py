@@ -8,7 +8,7 @@ the RNN variant adds per-tensor grad clip 15.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import flax.struct
 import jax

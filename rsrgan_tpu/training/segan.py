@@ -9,7 +9,7 @@ g_adv + l1_lambda * mean|G - labels|, gaussian input noise on D, EMA
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+
 
 import jax
 import jax.numpy as jnp

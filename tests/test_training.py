@@ -281,3 +281,33 @@ class TestSharedGForward:
             np.testing.assert_allclose(a, b, atol=1e-6)
         for k in m1:
             assert abs(m1[k] - m2[k]) < 1e-5 * (1 + abs(m1[k])), k
+
+
+class TestBnLstmTrainer:
+    def test_batch_stats_thread_through_train_step(self, rng):
+        """bnlstm's mutable batch_stats must update inside the jitted
+        train step and survive multi-step scans."""
+        from rsrgan_tpu.models.recurrent import BnLstmGenerator
+        gen = BnLstmGenerator(output_dim=D_OUT, cell_size=8,
+                              num_projection=5, num_layers=1)
+        trainer = MseTrainer(gen, output_dim=D_OUT, max_grad_norm=15.0)
+        x, y, lengths = make_batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        assert state.net.extra and "batch_stats" in state.net.extra
+        before = jax.tree.map(np.asarray, state.net.extra)
+        state, m = trainer.train_step(state, x, y, lengths,
+                                      jnp.float32(1e-3),
+                                      jax.random.PRNGKey(1))
+        after = jax.tree.map(np.asarray, state.net.extra)
+        changed = any(not np.allclose(a, b)
+                      for a, b in zip(jax.tree.leaves(before),
+                                      jax.tree.leaves(after)))
+        assert changed
+        assert np.isfinite(float(m["g_loss"]))
+        # eval must not mutate stats
+        st2 = jax.tree.map(np.asarray, state.net.extra)
+        trainer.eval_step(state, x, y, lengths)
+        for a, b in zip(jax.tree.leaves(st2),
+                        jax.tree.leaves(jax.tree.map(np.asarray,
+                                                     state.net.extra))):
+            np.testing.assert_array_equal(a, b)
