@@ -330,6 +330,11 @@ def run_sequence_training(args) -> int:
             log("ERROR: empty train or cv batch stream")
             return 1
         tr_m, cv_m = _avg(tr_accum), _avg(cv_accum)
+        if not all(np.isfinite(v) for v in tr_m.values()):
+            log(f"FATAL: non-finite training loss at iteration "
+                f"{iteration + 1}: {tr_m} — stopping (last accepted "
+                f"checkpoint is preserved).")
+            return 2
         took = (datetime.datetime.now() - start).total_seconds()
         log(f"{iteration + 1}/{max_iters} (INFO): d_learning_rate = "
             f"{float(hp['d_lr']):.5e}, g_learning_rate = "
@@ -550,25 +555,68 @@ def run_decode(args) -> int:
                                       lengths if sequence else None)
 
     start = datetime.datetime.now()
-    it = ThreadedPrefetcher(
-        infer_batches(test_store, args.left_context, args.right_context), 16)
-    for i, batch in enumerate(it):
-        if sequence:
-            act = infer(jnp.asarray(batch.inputs),
-                        jnp.asarray(batch.lengths))
-            act = np.asarray(act)[0, :int(batch.lengths[0])]
-        else:
-            act = infer(jnp.asarray(batch.inputs[0]), None)
-            act = np.asarray(act)[:int(batch.lengths[0])]
-        result = labels_cmvn.denormalize(act)
-        writer.write_next_utt(ark_path, batch.utt_ids[0],
-                              np.vstack(result))
-        log(f"[{i + 1}/{num_batch}] Write inferred {batch.utt_ids[0]} "
-            f"to {ark_path}")
+    if sequence and args.decode_batch_size > 1:
+        _decode_batched(args, test_store, infer, labels_cmvn, writer,
+                        ark_path)
+    else:
+        it = ThreadedPrefetcher(
+            infer_batches(test_store, args.left_context,
+                          args.right_context), 16)
+        for i, batch in enumerate(it):
+            if sequence:
+                act = infer(jnp.asarray(batch.inputs),
+                            jnp.asarray(batch.lengths))
+                act = np.asarray(act)[0, :int(batch.lengths[0])]
+            else:
+                act = infer(jnp.asarray(batch.inputs[0]), None)
+                act = np.asarray(act)[:int(batch.lengths[0])]
+            result = labels_cmvn.denormalize(act)
+            writer.write_next_utt(ark_path, batch.utt_ids[0],
+                                  np.vstack(result))
+            log(f"[{i + 1}/{num_batch}] Write inferred {batch.utt_ids[0]} "
+                f"to {ark_path}")
     writer.close()
     took = (datetime.datetime.now() - start).total_seconds()
     log(f"Decoding time is {took}s")
     return 0
+
+
+def _decode_batched(args, test_store, infer, labels_cmvn, writer,
+                    ark_path) -> None:
+    """Batched enhancement: group utterances by padded length (128-frame
+    quantization), run B-at-a-time, write results back in scp order.
+    A serving-throughput extension over the reference's batch-1 decode."""
+    from rsrgan_tpu.data.splice import splice_frames_np
+
+    B = args.decode_batch_size
+    lengths = test_store.lengths
+    pad = [int(-(-l // 128) * 128) for l in lengths]
+    order = sorted(range(len(test_store)), key=lambda i: (pad[i], i))
+    results = {}
+    idx = 0
+    while idx < len(order):
+        t_pad = pad[order[idx]]
+        group = []
+        while (idx < len(order) and len(group) < B
+               and pad[order[idx]] == t_pad):
+            group.append(order[idx])
+            idx += 1
+        splice = args.left_context + 1 + args.right_context
+        x = np.zeros((len(group), t_pad, test_store.input_dim * splice),
+                     np.float32)
+        lens = np.zeros((len(group),), np.int32)
+        for row, i in enumerate(group):
+            feats = splice_frames_np(np.asarray(test_store.inputs(i)),
+                                     args.left_context, args.right_context)
+            x[row, :feats.shape[0]] = feats
+            lens[row] = feats.shape[0]
+        act = np.asarray(infer(jnp.asarray(x), jnp.asarray(lens)))
+        for row, i in enumerate(group):
+            results[i] = labels_cmvn.denormalize(act[row, :lens[row]])
+    for i in range(len(test_store)):
+        writer.write_next_utt(ark_path, test_store.utt_ids[i],
+                              np.vstack(results[i]))
+    log(f"Wrote {len(results)} utterances (batched decode, B={B})")
 
 
 # ---------------------------------------------------------------------------
@@ -637,6 +685,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LSTM recurrence: lax.scan or fused Pallas kernel")
     p.add_argument("--moving_average", type=str2bool, nargs="?",
                    default=False, help="decode with EMA shadow params")
+    p.add_argument("--decode_batch_size", type=int, default=1,
+                   help=">1: batched enhancement grouped by padded length")
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture an XLA profiler trace of iteration 2")

@@ -183,3 +183,37 @@ def test_gan_rnn_same_batch_multistep(corpus, tmp_path):
         rec = json.loads(f.readline())
     for key in ("d_loss", "g_adv_loss", "g_mse_loss", "g_loss"):
         assert np.isfinite(rec[key])
+
+
+def test_batched_decode_matches_single(corpus, tmp_path):
+    """--decode_batch_size>1 must produce the same arks as batch-1."""
+    data_dir = corpus
+    save_dir = str(tmp_path / "bd_exp")
+    common = [
+        "--trainer=rnn", "--g_type=res_lstm_i",
+        f"--data_dir={data_dir}",
+        f"--tr_list_file={os.path.join(data_dir, 'tr.list')}",
+        f"--cv_list_file={os.path.join(data_dir, 'cv.list')}",
+        f"--save_dir={save_dir}",
+        "--input_dim=16", "--output_dim=6", "--batch_size=2",
+        "--bf16=false", "--l2_scale=0.0"]
+    rc = train_cli.main(common + ["--g_learning_rate=0.001",
+                                  "--min_epoches=1", "--max_epoches=1"])
+    assert rc == 0
+    decode_common = [
+        "--decode", "--trainer=rnn", "--g_type=res_lstm_i",
+        f"--data_dir={data_dir}",
+        f"--test_list_file={os.path.join(data_dir, 'test.list')}",
+        f"--save_dir={save_dir}", "--input_dim=16", "--output_dim=6",
+        "--bf16=false"]
+    assert train_cli.main(decode_common) == 0
+    single = {u: np.array(m) for u, m in ScpReader(
+        os.path.join(save_dir, "test", "feats.scp"))}
+    import shutil
+    shutil.rmtree(os.path.join(save_dir, "test"))
+    assert train_cli.main(decode_common + ["--decode_batch_size=4"]) == 0
+    batched = {u: m for u, m in ScpReader(
+        os.path.join(save_dir, "test", "feats.scp"))}
+    assert single.keys() == batched.keys()
+    for u in single:
+        np.testing.assert_allclose(batched[u], single[u], atol=1e-4)
