@@ -18,6 +18,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -28,7 +29,27 @@ B, T = 16, 500
 STEPS = 15
 
 
+def _arm_tunnel_watchdog() -> None:
+    """The axon TPU tunnel can hang a client forever if the previous
+    process has not fully released the device. If the first trivial device
+    op doesn't complete within the window, re-exec once with a cooldown."""
+    import signal
+
+    def on_alarm(signum, frame):
+        if os.environ.get("RSRGAN_BENCH_RETRY"):
+            raise TimeoutError("TPU tunnel did not come up after retry")
+        os.environ["RSRGAN_BENCH_RETRY"] = "1"
+        print("WARNING: TPU init stalled; retrying once after cooldown",
+              flush=True)
+        time.sleep(30)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(180)
+
+
 def main() -> None:
+    _arm_tunnel_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -36,6 +57,10 @@ def main() -> None:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    import signal
+
+    float(jnp.ones(()) + 1)  # first device op: proves the tunnel is alive
+    signal.alarm(0)
 
     from rsrgan_tpu.models import get_discriminator, get_generator
     from rsrgan_tpu.training import GanTrainer
