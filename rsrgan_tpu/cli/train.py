@@ -33,8 +33,7 @@ import numpy as np
 from rsrgan_tpu.data import (ArkWriter, FrameBatcher, SequenceBatcher,
                              ThreadedPrefetcher, UtteranceStore,
                              infer_batches, load_cmvn_npz, read_list_file)
-from rsrgan_tpu.models import (FRAME_G_TYPES, SEQUENCE_G_TYPES,
-                               get_discriminator, get_generator)
+from rsrgan_tpu.models import get_discriminator, get_generator
 from rsrgan_tpu.parallel import make_mesh, replicate, shard_batch
 from rsrgan_tpu.training import (GanTrainer, ImprovementTracker, MseTrainer,
                                  exponential_decay, load_checkpoint,

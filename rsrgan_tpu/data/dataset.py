@@ -21,8 +21,8 @@ from __future__ import annotations
 
 import queue as queue_mod
 import threading
-from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
 
 import numpy as np
 

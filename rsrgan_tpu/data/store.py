@@ -21,7 +21,7 @@ from __future__ import annotations
 import json
 import os
 import struct
-from typing import Iterator, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -16,8 +16,7 @@ DCT are dense [bins x ceps] matmuls -> MXU-friendly.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
-from functools import lru_cache
+from dataclasses import dataclass
 from typing import Optional
 
 import jax

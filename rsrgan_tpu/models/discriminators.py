@@ -8,7 +8,7 @@ rsrgan_tpu/models/segan.py.
 from __future__ import annotations
 
 from math import sqrt
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

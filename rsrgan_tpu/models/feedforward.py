@@ -7,7 +7,7 @@ Frame models consume spliced frames ``[B, splice*input_dim]`` (a 3-D
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ plus true lengths and return ``[B, T, output_dim]``.
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ audio: D is conditioned on concat(inputs, labels/G) along the feature axis
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Sequence
 
 import flax.linen as nn
 import jax

@@ -22,8 +22,6 @@ embarrassingly parallel host loop over utterances.
 from __future__ import annotations
 
 import functools
-import os
-import re
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -9,8 +9,6 @@ output-layer bias), so the conventions line up.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 
