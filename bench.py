@@ -65,7 +65,7 @@ def main() -> None:
     from rsrgan_tpu.models import get_discriminator, get_generator
     from rsrgan_tpu.training import GanTrainer
 
-    lstm_impl = os.environ.get("RSRGAN_LSTM_IMPL", "pallas")
+    lstm_impl = os.environ.get("RSRGAN_LSTM_IMPL", "wavefront")
     gen = get_generator("res_lstm_l", input_dim=257, output_dim=40,
                         compute_dtype=jnp.bfloat16, lstm_impl=lstm_impl)
     disc = get_discriminator("lstm", compute_dtype=jnp.bfloat16,

@@ -195,12 +195,21 @@ def run_sequence_training(args) -> int:
     num_devices = args.num_gpu
     global_batch = args.batch_size * num_devices
 
-    tr_batches = SequenceBatcher(tr_store, global_batch,
-                                 args.left_context, args.right_context,
-                                 seed=args.seed)
-    cv_batches = SequenceBatcher(cv_store, global_batch,
-                                 args.left_context, args.right_context,
-                                 shuffle=False, seed=args.seed)
+    def make_batcher(store, shuffle):
+        b = SequenceBatcher(store, global_batch, args.left_context,
+                            args.right_context, shuffle=shuffle,
+                            seed=args.seed)
+        if b.num_batches() == 0:
+            # small sets: every bucket is a partial window — keep ragged
+            # batches rather than dropping the whole stream (the reference's
+            # group_by_window also emits final partial windows)
+            b = SequenceBatcher(store, global_batch, args.left_context,
+                                args.right_context, shuffle=shuffle,
+                                drop_remainder=False, seed=args.seed)
+        return b
+
+    tr_batches = make_batcher(tr_store, True)
+    cv_batches = make_batcher(cv_store, False)
     tr_num_batch = tr_batches.num_batches()
     cv_num_batch = cv_batches.num_batches()
     min_iters, max_iters = args.min_epoches, args.max_epoches
@@ -680,8 +689,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "the same minibatch); False: graph-fed semantics "
                         "(each update pulls a fresh batch)")
     p.add_argument("--lstm_impl", default="scan",
-                   choices=["scan", "pallas"],
-                   help="LSTM recurrence: lax.scan or fused Pallas kernel")
+                   choices=["scan", "pallas", "wavefront"],
+                   help="LSTM recurrence: lax.scan, fused Pallas kernel, or "
+                        "the wavefront multi-layer kernel (res_lstm_l G)")
     p.add_argument("--moving_average", type=str2bool, nargs="?",
                    default=False, help="decode with EMA shadow params")
     p.add_argument("--decode_batch_size", type=int, default=1,

@@ -58,6 +58,8 @@ def get_generator(g_type: str, *, input_dim: int, output_dim: int,
 def get_discriminator(d_type: str, *, keep_prob: float = 1.0,
                       compute_dtype: Any = jnp.float32,
                       lstm_impl: str = "scan"):
+    if lstm_impl == "wavefront":
+        lstm_impl = "pallas"  # wavefront covers the res_lstm_l G only
     if d_type == "lstm":
         return LstmDiscriminator(keep_prob=keep_prob,
                                  compute_dtype=compute_dtype,

@@ -63,6 +63,39 @@ class BnLstmGenerator(nn.Module):
         return nn.Dense(self.output_dim, kernel_init=_GLOROT)(h)
 
 
+class _CellParams(nn.Module):
+    """Parameter-only twin of LstmCellP: declares the identical variable
+    tree (kernel/bias/proj_kernel/peepholes) under the same submodule name
+    so wavefront checkpoints interchange with scan/pallas ones."""
+
+    input_dim: int
+    num_units: int
+    num_proj: int
+
+    @nn.compact
+    def __call__(self):
+        D, U, P = self.input_dim, self.num_units, self.num_proj
+        return {
+            "kernel": self.param("kernel",
+                                 nn.initializers.glorot_uniform(),
+                                 (D + P, 4 * U), jnp.float32),
+            "bias": self.param("bias", nn.initializers.zeros, (4 * U,),
+                               jnp.float32),
+            "proj_kernel": self.param("proj_kernel",
+                                      nn.initializers.glorot_uniform(),
+                                      (U, P), jnp.float32),
+            "w_i_diag": self.param("w_i_diag",
+                                   nn.initializers.glorot_uniform(),
+                                   (1, U), jnp.float32),
+            "w_f_diag": self.param("w_f_diag",
+                                   nn.initializers.glorot_uniform(),
+                                   (1, U), jnp.float32),
+            "w_o_diag": self.param("w_o_diag",
+                                   nn.initializers.glorot_uniform(),
+                                   (1, U), jnp.float32),
+        }
+
+
 class ResLstmGenerator(nn.Module):
     """The residual-LSTM family; ``variant`` selects the wiring:
 
@@ -88,6 +121,21 @@ class ResLstmGenerator(nn.Module):
     def __call__(self, inputs, lengths=None, train: bool = False):
         num_proj = inputs.shape[-1]
         num_layers = 2 if self.variant == "i" else 4
+
+        if self.lstm_impl == "wavefront":
+            if self.variant != "l":
+                raise NotImplementedError(
+                    "wavefront impl covers the res_lstm_l wiring only")
+            from rsrgan_tpu.ops.wavefront_stack import res_lstm_l_stack
+
+            params = [
+                _CellParams(num_proj, self.cell_size, num_proj,
+                            name=f"lstm_cell_{k + 1}")()
+                for k in range(num_layers)]
+            tap = res_lstm_l_stack(inputs, lengths, params,
+                                   compute_dtype=self.compute_dtype)
+            return nn.Dense(self.output_dim, kernel_init=_GLOROT,
+                            name="forward_out")(tap)
 
         def cell(idx):
             return LstmCellP(self.cell_size, num_proj,

@@ -1,0 +1,179 @@
+"""res_lstm_l 4-layer stack on the wavefront forward kernel + composed
+backward.
+
+Forward: one wavefront kernel (rsrgan_tpu/ops/pallas_wavefront.py) runs
+all L layers. Backward: the per-layer reverse kernel from pallas_lstm,
+walked from the top layer down, with layer inputs reconstructed from the
+residual closed form in_k = x + sum_{j<k} out_j and gradients chained
+through d(tap_k) in plain JAX.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from rsrgan_tpu.ops.pallas_lstm import (_bwd_pallas, _round_up,
+                                        pad_gate_dim)
+from rsrgan_tpu.ops.pallas_wavefront import res_lstm_wavefront_fwd
+
+
+def _prep(params_list, D, forget_bias):
+    """Stack + gate-pad per-layer parameters.
+
+    params_list: per-layer dicts with 'kernel' [D+P, 4U], 'bias' [4U],
+    'proj_kernel' [U, P], 'w_i_diag'/'w_f_diag'/'w_o_diag' [1, U].
+    """
+    L = len(params_list)
+    U = params_list[0]["proj_kernel"].shape[0]
+    P = params_list[0]["proj_kernel"].shape[1]
+    Up = _round_up(U, 128)
+    fb = jnp.zeros((4, U), jnp.float32).at[2].set(forget_bias).reshape(-1)
+
+    wx = jnp.stack([pad_gate_dim(p["kernel"][:D], U, Up)
+                    for p in params_list])          # [L, D, G]
+    wh = jnp.stack([pad_gate_dim(p["kernel"][D:], U, Up)
+                    for p in params_list])          # [L, P, G]
+    bias = jnp.stack([pad_gate_dim((p["bias"] + fb)[None, :], U, Up)
+                      for p in params_list])        # [L, 1, G]
+    proj = jnp.stack([
+        jnp.pad(p["proj_kernel"], ((0, Up - U), (0, 0))) if Up != U
+        else p["proj_kernel"] for p in params_list])  # [L, Up, P]
+
+    def peep(name):
+        return jnp.stack([
+            jnp.pad(p[name], ((0, 0), (0, Up - U))) if Up != U else p[name]
+            for p in params_list])                  # [L, 1, Up]
+
+    return wx, wh, bias, proj, peep("w_i_diag"), peep("w_f_diag"), \
+        peep("w_o_diag"), Up, P
+
+
+def res_lstm_l_stack(x_bm: jnp.ndarray, lengths, params_list,
+                     forget_bias: float = 1.0,
+                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[B, T, P] batch-major input -> final tap [B, T, P] (pre-dense).
+
+    Equivalent to chaining L LstmCellP layers with res_lstm_l residuals.
+    """
+    B, T, P_in = x_bm.shape
+    x = jnp.swapaxes(x_bm, 0, 1)  # [T, B, P]
+    if lengths is None:
+        lengths = jnp.full((B,), T, jnp.int32)
+    mask = (jnp.arange(T)[:, None]
+            < lengths[None, :].astype(jnp.int32)).astype(jnp.float32)
+    tap = _stack_vjp((float(forget_bias), jnp.dtype(compute_dtype).name),
+                     x, mask, tuple(
+        tuple(p[k] for k in ("kernel", "bias", "proj_kernel", "w_i_diag",
+                             "w_f_diag", "w_o_diag")) for p in params_list))
+    return jnp.swapaxes(tap, 0, 1)
+
+
+def _as_dicts(flat_params):
+    keys = ("kernel", "bias", "proj_kernel", "w_i_diag", "w_f_diag",
+            "w_o_diag")
+    return [dict(zip(keys, p)) for p in flat_params]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _stack_vjp(static, x, mask, flat_params):
+    tap, _ = _stack_fwd_impl(static, x, mask, flat_params)
+    return tap
+
+
+def _stack_fwd_impl(static, x, mask, flat_params):
+    forget_bias, dtype_name = static
+    cdt = jnp.dtype(dtype_name)
+    params_list = _as_dicts(flat_params)
+    T, B, P_in = x.shape
+    L = len(params_list)
+    wx, wh, bias, proj, wi, wf, wo, Up, P = _prep(params_list, P_in,
+                                                  forget_bias)
+    # VMEM budget: 4 layers of f32 kernels exceed 16 MB — keep the big
+    # matmul operands in compute_dtype (bf16 by default)
+    wx = wx.astype(cdt)
+    wh = wh.astype(cdt)
+    proj = proj.astype(cdt)
+    assert P == P_in, "res_lstm_l requires num_proj == input dim"
+
+    xw1 = jnp.einsum("tbd,dg->tbg", x, wx[0])
+    S = T + L - 1
+    mask_lt = jnp.zeros((L, S, 1, B), jnp.float32)
+    for k in range(L):
+        mask_lt = mask_lt.at[k, k:k + T, 0].set(mask)
+
+    taps_s, c_s, h_s = res_lstm_wavefront_fwd(
+        xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo)
+    # de-skew: layer k's timestep t lives at grid position s = t + k
+    taps = jnp.stack([taps_s[k, k:k + T] for k in range(L)])
+    c_hist = jnp.stack([c_s[k, k:k + T] for k in range(L)])
+    h_hist = jnp.stack([h_s[k, k:k + T] for k in range(L)])
+    residuals = (x, mask, flat_params, taps, c_hist, h_hist)
+    return taps[L - 1], residuals
+
+
+def _stack_fwd(static, x, mask, flat_params):
+    return _stack_fwd_impl(static, x, mask, flat_params)
+
+
+def _stack_bwd(static, residuals, dtap_top):
+    forget_bias, dtype_name = static
+    cdt = jnp.dtype(dtype_name)
+    (x, mask, flat_params, taps, c_hist, h_hist) = residuals
+    params_list = _as_dicts(flat_params)
+    T, B, P = x.shape
+    L = len(params_list)
+    Up = c_hist.shape[-1]
+    wx, wh, bias, proj, wi, wf, wo, _, _ = _prep(params_list, P,
+                                                 forget_bias)
+    wh = wh.astype(cdt)
+    proj = proj.astype(cdt)
+    mask_tb = mask  # [T, B]
+
+    # layer inputs from the residual chain: in_0 = x, in_k = tap_{k-1}
+    ins = [x] + [taps[k] for k in range(L - 1)]
+
+    dtap = dtap_top
+    dparams = []
+    for k in reversed(range(L)):
+        dout_k = dtap
+        din_k = dtap
+        xw_k = jnp.einsum("tbd,dg->tbg", ins[k], wx[k])
+        mask3 = mask_tb[:, None, :]  # [T, 1, B]
+        dxw, dwh, dproj, dbias, dwi, dwf, dwo = _bwd_pallas(
+            T, B, Up, P, xw_k, mask3, dout_k, c_hist[k], h_hist[k],
+            wh[k], proj[k], bias[k], wi[k], wf[k], wo[k])
+        din_k = din_k + jnp.einsum("tbg,dg->tbd", dxw, wx[k])
+        dwx = jnp.einsum("tbd,tbg->dg", ins[k], dxw)
+        dparams.append((dwx, dwh, dproj, dbias, dwi, dwf, dwo))
+        dtap = din_k  # = d(tap_{k-1}) for k>=1; = dx for k==0
+    dx = dtap
+    dparams = dparams[::-1]
+    dmask = jnp.zeros_like(mask)
+
+    # repack into the flat per-layer param tuples (unpad gate dims)
+    U = params_list[0]["proj_kernel"].shape[0]
+
+    def unpad_g(a):
+        G4 = a.shape[-1]
+        a4 = a.reshape(a.shape[:-1] + (4, G4 // 4))
+        return a4[..., :U].reshape(a.shape[:-1] + (4 * U,))
+
+    flat_grads = []
+    for k in range(L):
+        dwx, dwh, dproj, dbias, dwi, dwf, dwo = dparams[k]
+        dkernel = jnp.concatenate([unpad_g(dwx), unpad_g(dwh)], axis=0)
+        flat_grads.append((
+            dkernel,
+            unpad_g(dbias)[0],
+            dproj[:U],
+            dwi[:, :U],
+            dwf[:, :U],
+            dwo[:, :U],
+        ))
+    return dx, dmask, tuple(flat_grads)
+
+
+_stack_vjp.defvjp(_stack_fwd, _stack_bwd)
