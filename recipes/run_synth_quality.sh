@@ -49,7 +49,7 @@ python -m rsrgan_tpu.cli.train \
   --input_dim=257 --output_dim=40 \
   --min_epoches=$iters --max_epoches=$iters \
   --init_disc_noise_std=0.05 \
-  --lstm_impl=pallas --l2_scale=0.0
+  --lstm_impl=wavefront --l2_scale=0.0
 
 sleep 5
 python -m rsrgan_tpu.cli.train \
@@ -57,7 +57,7 @@ python -m rsrgan_tpu.cli.train \
   --data_dir=$train_dir --test_list_file=$train_dir/test.list \
   --save_dir=$save_dir \
   --input_dim=257 --output_dim=40 --batch_size=1 \
-  --decode_batch_size=4 --lstm_impl=pallas
+  --decode_batch_size=4 --lstm_impl=wavefront
 
 python - "$train_dir" "$save_dir" <<'EOF'
 import sys

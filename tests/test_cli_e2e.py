@@ -217,3 +217,23 @@ def test_batched_decode_matches_single(corpus, tmp_path):
     assert single.keys() == batched.keys()
     for u in single:
         np.testing.assert_allclose(batched[u], single[u], atol=1e-4)
+
+
+def test_gan_rnn_data_parallel_cli(corpus, tmp_path):
+    """--num_gpu=2 drives the mesh path through the CLI (replicated state,
+    batch sharding incl. stacked multi-step axis-1 sharding)."""
+    data_dir = corpus
+    save_dir = str(tmp_path / "dp_exp")
+    rc = train_cli.main([
+        "--trainer=gan_rnn", "--g_type=res_lstm_i",
+        f"--data_dir={data_dir}",
+        f"--tr_list_file={os.path.join(data_dir, 'tr.list')}",
+        f"--cv_list_file={os.path.join(data_dir, 'cv.list')}",
+        f"--save_dir={save_dir}",
+        "--input_dim=16", "--output_dim=6", "--batch_size=1",
+        "--num_gpu=2", "--steps_per_call=2",
+        "--g_learning_rate=0.0005", "--d_learning_rate=0.001",
+        "--min_epoches=1", "--max_epoches=1", "--bf16=false",
+        "--l2_scale=0.0"])
+    assert rc == 0
+    assert os.path.isfile(os.path.join(save_dir, "checkpoint"))
