@@ -7,7 +7,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 
 workdir=${1:-/tmp/rsrgan_quality}
-iters=${2:-8}
+iters=${2:-24}
 rm -rf "$workdir" && mkdir -p "$workdir"
 train_dir=$workdir/data/train
 save_dir=$workdir/exp/gan_res_lstm_l
