@@ -59,7 +59,11 @@ def get_discriminator(d_type: str, *, keep_prob: float = 1.0,
                       compute_dtype: Any = jnp.float32,
                       lstm_impl: str = "scan"):
     if lstm_impl == "wavefront":
-        lstm_impl = "pallas"  # wavefront covers the res_lstm_l G only
+        # measured: the wavefront stack LOSES on the small D cells (in-
+        # kernel input projections beat hoisted xw only for the big G
+        # cells) — 297.7k vs 304.4k frames/s. Keep D on the per-layer
+        # kernel; StackedLstm(lstm_impl='wavefront') stays available.
+        lstm_impl = "pallas"
     if d_type == "lstm":
         return LstmDiscriminator(keep_prob=keep_prob,
                                  compute_dtype=compute_dtype,

@@ -135,13 +135,28 @@ class StackedLstm(nn.Module):
 
     @nn.compact
     def __call__(self, inputs, lengths=None, train: bool = False):
+        use_dropout = train and self.dropout_keep_prob < 1.0
+        if self.lstm_impl == "wavefront" and not use_dropout \
+                and inputs.shape[-1] == self.num_proj:
+            from rsrgan_tpu.models.recurrent import _CellParams
+            from rsrgan_tpu.ops.wavefront_stack import lstm_stack_wavefront
+
+            params = [
+                _CellParams(self.num_proj, self.num_units, self.num_proj,
+                            name=f"cell_{k}")()
+                for k in range(self.num_layers)]
+            return lstm_stack_wavefront(inputs, lengths, params,
+                                        residual=False,
+                                        compute_dtype=self.compute_dtype)
+
+        impl = "pallas" if self.lstm_impl == "wavefront" else self.lstm_impl
         h = inputs
         for layer in range(self.num_layers):
             h = LstmCellP(self.num_units, self.num_proj,
                           compute_dtype=self.compute_dtype,
-                          lstm_impl=self.lstm_impl,
+                          lstm_impl=impl,
                           name=f"cell_{layer}")(h, lengths)
-            if train and self.dropout_keep_prob < 1.0:
+            if use_dropout:
                 h = nn.Dropout(rate=1.0 - self.dropout_keep_prob,
                                deterministic=False)(h)
         return h

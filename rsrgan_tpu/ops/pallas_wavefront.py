@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from rsrgan_tpu.ops.pallas_lstm import _round_up, pad_gate_dim
 
 
-def _wavefront_kernel(L, T, xw1_ref, mask_ref, x_ref,
+def _wavefront_kernel(L, T, residual, xw1_ref, mask_ref, x_ref,
                       wx_ref, wh_ref, proj_ref, bias_ref,
                       wi_ref, wf_ref, wo_ref,
                       tap_ref, c_hist_ref, h_hist_ref,
@@ -110,7 +110,9 @@ def _wavefront_kernel(L, T, xw1_ref, mask_ref, x_ref,
             c_scr[k] = c_keep
             h_scr[k] = h_keep
             out = jnp.where(keep, h_new, 0.0)
-            tap = out + in_k
+            # residual (res_lstm_l): tap_k = out_k + in_k; plain stack
+            # (MultiRNNCell): the next layer consumes out_k directly
+            tap = out + in_k if residual else out
             if k + 1 < L:
                 in_scr[k + 1] = tap
             tap_ref[k, 0] = tap
@@ -119,7 +121,7 @@ def _wavefront_kernel(L, T, xw1_ref, mask_ref, x_ref,
 
 
 def res_lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
-                           wi, wf, wo):
+                           wi, wf, wo, residual=True):
     """Launch the wavefront forward.
 
     xw1 [T, B, G] layer-1 projection; mask_lt [L, T+L, 1, B] per-layer
@@ -179,7 +181,7 @@ def res_lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
             pltpu.VMEM((L, B, P), jnp.float32),
         ],
     )
-    kernel = lambda *refs: _wavefront_kernel(L, T, *refs)
+    kernel = lambda *refs: _wavefront_kernel(L, T, residual, *refs)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

@@ -58,13 +58,24 @@ def res_lstm_l_stack(x_bm: jnp.ndarray, lengths, params_list,
 
     Equivalent to chaining L LstmCellP layers with res_lstm_l residuals.
     """
+    return lstm_stack_wavefront(x_bm, lengths, params_list, True,
+                                forget_bias, compute_dtype)
+
+
+def lstm_stack_wavefront(x_bm, lengths, params_list, residual,
+                         forget_bias: float = 1.0,
+                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Wavefront L-layer stack; residual=False gives MultiRNNCell wiring
+    (StackedLstm parity). Requires every layer's input dim from layer 1
+    on to equal num_proj (true for both wirings)."""
     B, T, P_in = x_bm.shape
     x = jnp.swapaxes(x_bm, 0, 1)  # [T, B, P]
     if lengths is None:
         lengths = jnp.full((B,), T, jnp.int32)
     mask = (jnp.arange(T)[:, None]
             < lengths[None, :].astype(jnp.int32)).astype(jnp.float32)
-    tap = _stack_vjp((float(forget_bias), jnp.dtype(compute_dtype).name),
+    tap = _stack_vjp((float(forget_bias), jnp.dtype(compute_dtype).name,
+                      bool(residual)),
                      x, mask, tuple(
         tuple(p[k] for k in ("kernel", "bias", "proj_kernel", "w_i_diag",
                              "w_f_diag", "w_o_diag")) for p in params_list))
@@ -84,7 +95,7 @@ def _stack_vjp(static, x, mask, flat_params):
 
 
 def _stack_fwd_impl(static, x, mask, flat_params):
-    forget_bias, dtype_name = static
+    forget_bias, dtype_name, residual = static
     cdt = jnp.dtype(dtype_name)
     params_list = _as_dicts(flat_params)
     T, B, P_in = x.shape
@@ -105,7 +116,8 @@ def _stack_fwd_impl(static, x, mask, flat_params):
         mask_lt = mask_lt.at[k, k:k + T, 0].set(mask)
 
     taps_s, c_s, h_s = res_lstm_wavefront_fwd(
-        xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo)
+        xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo,
+        residual=residual)
     # de-skew: layer k's timestep t lives at grid position s = t + k
     taps = jnp.stack([taps_s[k, k:k + T] for k in range(L)])
     c_hist = jnp.stack([c_s[k, k:k + T] for k in range(L)])
@@ -119,7 +131,7 @@ def _stack_fwd(static, x, mask, flat_params):
 
 
 def _stack_bwd(static, residuals, dtap_top):
-    forget_bias, dtype_name = static
+    forget_bias, dtype_name, residual = static
     cdt = jnp.dtype(dtype_name)
     (x, mask, flat_params, taps, c_hist, h_hist) = residuals
     params_list = _as_dicts(flat_params)
@@ -139,7 +151,7 @@ def _stack_bwd(static, residuals, dtap_top):
     dparams = []
     for k in reversed(range(L)):
         dout_k = dtap
-        din_k = dtap
+        din_k = dtap if residual else jnp.zeros_like(dtap)
         xw_k = jnp.einsum("tbd,dg->tbg", ins[k], wx[k])
         mask3 = mask_tb[:, None, :]  # [T, 1, B]
         dxw, dwh, dproj, dbias, dwi, dwf, dwo = _bwd_pallas(

@@ -37,3 +37,29 @@ def test_wavefront_matches_scan(rng):
                                atol=1e-5)
     for a, b in zip(jax.tree.leaves(g_wave), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_plain_stack_wavefront_matches_scan(rng):
+    """Non-residual (MultiRNNCell) wavefront wiring via the discriminator."""
+    from rsrgan_tpu.models.discriminators import LstmDiscriminator
+
+    B2, T2, P2 = 3, 15, 6
+    y = jnp.asarray(rng.normal(size=(B2, T2, P2)), jnp.float32)
+    lens = jnp.array([T2, 9, 4], jnp.int32)
+    d_scan = LstmDiscriminator(cell_size=10, num_projection=P2,
+                               lstm_impl="scan")
+    d_wave = LstmDiscriminator(cell_size=10, num_projection=P2,
+                               lstm_impl="wavefront")
+    params = d_scan.init(jax.random.PRNGKey(0), y, lens)
+
+    def loss(d):
+        return lambda p, y: jnp.sum(jnp.tanh(d.apply(p, y, lens)))
+
+    with pltpu.force_tpu_interpret_mode():
+        ow = d_wave.apply(params, y, lens)
+        gw = jax.grad(loss(d_wave), argnums=(0, 1))(params, y)
+    os_ = d_scan.apply(params, y, lens)
+    gs = jax.grad(loss(d_scan), argnums=(0, 1))(params, y)
+    np.testing.assert_allclose(np.asarray(ow), np.asarray(os_), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
