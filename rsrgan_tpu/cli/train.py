@@ -418,6 +418,7 @@ def run_frame_training(args) -> int:
 
     show_all_variables(state)
     hp = make_hparams(args, num_devices)
+    profiler = Profiler(args.profile_dir)
     g_lr = float(hp["g_lr"])
     tr_writer = MetricsWriter(args.save_dir, "train")
     cv_writer = MetricsWriter(args.save_dir, "eval")
@@ -447,6 +448,8 @@ def run_frame_training(args) -> int:
     decay_steps = 1
 
     for epoch in range(args.max_epoches):
+        if epoch == 1:
+            profiler.start()
         start = datetime.datetime.now()
         tr_accum = []
         for x, y in ThreadedPrefetcher(iter(tr_batches), 32):
@@ -471,6 +474,7 @@ def run_frame_training(args) -> int:
             f" TIME USED {took / 3600.0:.2f} h")
         tr_writer.write(epoch + 1, tr_m)
         cv_writer.write(epoch + 1, cv_m)
+        profiler.stop()
 
         g_loss_new = cv_m["g_loss"]
         if g_loss_new < g_loss_prev:

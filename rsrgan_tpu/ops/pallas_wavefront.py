@@ -120,7 +120,7 @@ def _wavefront_kernel(L, T, residual, xw1_ref, mask_ref, x_ref,
             h_hist_ref[k, 0] = h_keep
 
 
-def res_lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
+def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
                            wi, wf, wo, residual=True):
     """Launch the wavefront forward.
 

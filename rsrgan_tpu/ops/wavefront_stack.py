@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from rsrgan_tpu.ops.pallas_lstm import (_bwd_pallas, _round_up,
                                         pad_gate_dim)
-from rsrgan_tpu.ops.pallas_wavefront import res_lstm_wavefront_fwd
+from rsrgan_tpu.ops.pallas_wavefront import lstm_wavefront_fwd
 
 
 def _prep(params_list, D, forget_bias):
@@ -115,7 +115,7 @@ def _stack_fwd_impl(static, x, mask, flat_params):
     for k in range(L):
         mask_lt = mask_lt.at[k, k:k + T, 0].set(mask)
 
-    taps_s, c_s, h_s = res_lstm_wavefront_fwd(
+    taps_s, c_s, h_s = lstm_wavefront_fwd(
         xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo,
         residual=residual)
     # de-skew: layer k's timestep t lives at grid position s = t + k
