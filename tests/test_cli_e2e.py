@@ -237,3 +237,32 @@ def test_gan_rnn_data_parallel_cli(corpus, tmp_path):
         "--l2_scale=0.0"])
     assert rc == 0
     assert os.path.isfile(os.path.join(save_dir, "checkpoint"))
+
+
+def test_training_resumes_from_checkpoint(corpus, tmp_path):
+    """Re-invoking the trainer picks up the last accepted checkpoint
+    (crash-recovery semantics: the reference reloads via tr_model.load,
+    train_gan_rnn_placeholder.py:446-449)."""
+    data_dir = corpus
+    save_dir = str(tmp_path / "resume_exp")
+    common = [
+        "--trainer=dnn", "--g_type=dnn",
+        f"--data_dir={data_dir}",
+        f"--tr_list_file={os.path.join(data_dir, 'tr.list')}",
+        f"--cv_list_file={os.path.join(data_dir, 'cv.list')}",
+        f"--save_dir={save_dir}",
+        "--input_dim=16", "--output_dim=6", "--batch_size=64",
+        "--g_learning_rate=0.001", "--keep_lr=1", "--bf16=false",
+        "--l2_scale=0.0"]
+    assert train_cli.main(common + ["--min_epoches=1",
+                                    "--max_epoches=1"]) == 0
+    import json
+    with open(os.path.join(save_dir, "metrics_eval.jsonl")) as f:
+        first_loss = json.loads(f.readlines()[-1])["g_loss"]
+    # second invocation resumes from the saved params: its first CV loss
+    # must be at (or below) where the first run ended, not at init scale
+    assert train_cli.main(common + ["--min_epoches=1",
+                                    "--max_epoches=1"]) == 0
+    with open(os.path.join(save_dir, "metrics_eval.jsonl")) as f:
+        second_loss = json.loads(f.readlines()[-1])["g_loss"]
+    assert second_loss <= first_loss * 1.05
