@@ -138,9 +138,12 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
 
 def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
                 w_h_ref, proj_ref, bias_ref, w_i_ref, w_f_ref, w_o_ref,
-                dxw_ref, dwh_ref, dproj_ref, dbias_ref,
-                dwi_ref, dwf_ref, dwo_ref,
+                dxw_ref, m_ref, dh_ref,
                 dc_scr, dh_scr):
+    """Reverse-time step. Emits per-step dgates (dxw), masked m and masked
+    dh_total; ALL weight-gradient reductions happen outside the kernel as
+    single large MXU matmuls (lstm_layer_bwd) — accumulating them per step
+    here costs two extra tiny matmuls on the critical path."""
     t = pl.program_id(0)          # 0..T-1, walking the sequence in REVERSE
     T = pl.num_programs(0)
     Up = dc_scr.shape[1]
@@ -149,12 +152,6 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     def _():
         dc_scr[:] = jnp.zeros_like(dc_scr)
         dh_scr[:] = jnp.zeros_like(dh_scr)
-        dwh_ref[:] = jnp.zeros_like(dwh_ref)
-        dproj_ref[:] = jnp.zeros_like(dproj_ref)
-        dbias_ref[:] = jnp.zeros_like(dbias_ref)
-        dwi_ref[:] = jnp.zeros_like(dwi_ref)
-        dwf_ref[:] = jnp.zeros_like(dwf_ref)
-        dwo_ref[:] = jnp.zeros_like(dwo_ref)
 
     first_step = t == T - 1      # sequence position 0
     c_prev = jnp.where(first_step, 0.0, cprev_ref[0])
@@ -181,7 +178,6 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     so = jax.nn.sigmoid(o + w_o * c_new)
     tj = jnp.tanh(j)
     tc = jnp.tanh(c_new)
-    m = so * tc
 
     dh_total = dout_ref[0] + dh_scr[:]
     # h = m @ proj
@@ -201,21 +197,9 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     dgates = jnp.concatenate([di_pre, dj_pre, df_pre, do_pre], axis=1)
     dgates = jnp.where(keep, dgates, 0.0)
 
-    m_masked = jnp.where(keep, m, 0.0)
-    dh_masked = jnp.where(keep, dh_total, 0.0)
-
     dxw_ref[0] = dgates
-    dwh_ref[:] += jnp.dot(h_prev.T.astype(wdt), dgates.astype(wdt),
-                          preferred_element_type=jnp.float32)
-    dproj_ref[:] += jnp.dot(m_masked.T.astype(wdt), dh_masked.astype(wdt),
-                            preferred_element_type=jnp.float32)
-    dbias_ref[0] += jnp.sum(dgates, axis=0)
-    dwi_ref[0] += jnp.sum(di_pre * c_prev * jnp.where(keep, 1.0, 0.0),
-                          axis=0)
-    dwf_ref[0] += jnp.sum(df_pre * c_prev * jnp.where(keep, 1.0, 0.0),
-                          axis=0)
-    dwo_ref[0] += jnp.sum(do_pre * c_new * jnp.where(keep, 1.0, 0.0),
-                          axis=0)
+    m_ref[0] = jnp.where(keep, so * tc, 0.0)
+    dh_ref[0] = jnp.where(keep, dh_total, 0.0)
 
     dh_prev_new = jnp.dot(dgates.astype(wdt), w_h_ref[:].T,
                           preferred_element_type=jnp.float32)
@@ -250,12 +234,8 @@ def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
         ],
         out_specs=[
             pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # dxw
-            pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),    # dW_h
-            pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, Up), rev3, memory_space=pltpu.VMEM),  # m
+            pl.BlockSpec((1, B, P), rev3, memory_space=pltpu.VMEM),   # dh
         ],
         scratch_shapes=[
             pltpu.VMEM((B, Up), jnp.float32),
@@ -267,15 +247,35 @@ def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, G), jnp.float32),
-            jax.ShapeDtypeStruct((P, G), jnp.float32),
-            jax.ShapeDtypeStruct((Up, P), jnp.float32),
-            jax.ShapeDtypeStruct((1, G), jnp.float32),
-            jax.ShapeDtypeStruct((1, Up), jnp.float32),
-            jax.ShapeDtypeStruct((1, Up), jnp.float32),
-            jax.ShapeDtypeStruct((1, Up), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, Up), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         ],
     )(xw, mask, dout, c_hist, c_hist, h_hist, w_h, proj, bias,
       w_i, w_f, w_o)
+
+
+def lstm_layer_bwd(T, B, Up, P, xw, mask3, dout, c_hist, h_hist, w_h,
+                   proj, bias, w_i, w_f, w_o):
+    """Single-layer backward: reverse kernel + weight-grad reductions as
+    full-sequence MXU matmuls. Returns
+    (dxw, dwh, dproj, dbias, dwi, dwf, dwo) in padded gate dims."""
+    dxw, m_m, dh_m = _bwd_pallas(T, B, Up, P, xw, mask3, dout, c_hist,
+                                 h_hist, w_h, proj, bias, w_i, w_f, w_o)
+    zero_row = jnp.zeros((1,) + h_hist.shape[1:], h_hist.dtype)
+    h_prev_seq = jnp.concatenate([zero_row, h_hist[:-1]], axis=0)
+    zero_c = jnp.zeros((1,) + c_hist.shape[1:], c_hist.dtype)
+    c_prev_seq = jnp.concatenate([zero_c, c_hist[:-1]], axis=0)
+
+    dwh = jnp.einsum("tbp,tbg->pg", h_prev_seq, dxw)
+    dproj = jnp.einsum("tbu,tbp->up", m_m, dh_m)
+    dbias = jnp.sum(dxw, axis=(0, 1))[None]
+    di = dxw[..., 0 * Up:1 * Up]
+    df = dxw[..., 2 * Up:3 * Up]
+    do = dxw[..., 3 * Up:4 * Up]
+    dwi = jnp.sum(di * c_prev_seq, axis=(0, 1))[None]
+    dwf = jnp.sum(df * c_prev_seq, axis=(0, 1))[None]
+    dwo = jnp.sum(do * c_hist, axis=(0, 1))[None]
+    return dxw, dwh, dproj, dbias, dwi, dwf, dwo
 
 
 # ---------------------------------------------------------------------------
@@ -305,7 +305,7 @@ def _lstm_seq_bwd(res, dout):
     T, B, G = xw.shape
     Up = G // 4
     P = proj.shape[1]
-    dxw, dwh, dproj, dbias, dwi, dwf, dwo = _bwd_pallas(
+    dxw, dwh, dproj, dbias, dwi, dwf, dwo = lstm_layer_bwd(
         T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj, bias,
         w_i, w_f, w_o)
     return (dxw, None, dwh.astype(w_h.dtype), dproj.astype(proj.dtype),

@@ -15,7 +15,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from rsrgan_tpu.ops.pallas_lstm import (_bwd_pallas, _round_up,
+from rsrgan_tpu.ops.pallas_lstm import (_round_up, lstm_layer_bwd,
                                         pad_gate_dim)
 from rsrgan_tpu.ops.pallas_wavefront import lstm_wavefront_fwd
 
@@ -154,7 +154,7 @@ def _stack_bwd(static, residuals, dtap_top):
         din_k = dtap if residual else jnp.zeros_like(dtap)
         xw_k = jnp.einsum("tbd,dg->tbg", ins[k], wx[k])
         mask3 = mask_tb[:, None, :]  # [T, 1, B]
-        dxw, dwh, dproj, dbias, dwi, dwf, dwo = _bwd_pallas(
+        dxw, dwh, dproj, dbias, dwi, dwf, dwo = lstm_layer_bwd(
             T, B, Up, P, xw_k, mask3, dout_k, c_hist[k], h_hist[k],
             wh[k], proj[k], bias[k], wi[k], wf[k], wo[k])
         din_k = din_k + jnp.einsum("tbg,dg->tbd", dxw, wx[k])
