@@ -66,7 +66,18 @@ class MetricsWriter:
             f.write(json.dumps(rec) + "\n")
 
 
+def resolve_lstm_impl(args) -> str:
+    """'auto' picks the fused kernels on TPU, lax.scan elsewhere (CPU/GPU
+    cannot compile Mosaic kernels)."""
+    if args.lstm_impl != "auto":
+        return args.lstm_impl
+    if jax.default_backend() != "tpu":
+        return "scan"
+    return "wavefront" if args.g_type == "res_lstm_l" else "pallas"
+
+
 def build_trainer(args, compute_dtype):
+    args.lstm_impl = resolve_lstm_impl(args)
     if args.trainer == "segan":
         from rsrgan_tpu.models.segan import (SeganAEGenerator,
                                              SeganDiscriminator,
@@ -692,10 +703,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="True: placeholder-trainer semantics (D and G on "
                         "the same minibatch); False: graph-fed semantics "
                         "(each update pulls a fresh batch)")
-    p.add_argument("--lstm_impl", default="scan",
-                   choices=["scan", "pallas", "wavefront"],
-                   help="LSTM recurrence: lax.scan, fused Pallas kernel, or "
-                        "the wavefront multi-layer kernel (res_lstm_l G)")
+    p.add_argument("--lstm_impl", default="auto",
+                   choices=["auto", "scan", "pallas", "wavefront"],
+                   help="LSTM recurrence: auto (fused kernels on TPU, scan "
+                        "elsewhere), lax.scan, fused Pallas kernel, or the "
+                        "wavefront multi-layer kernel (res_lstm_l G)")
     p.add_argument("--moving_average", type=str2bool, nargs="?",
                    default=False, help="decode with EMA shadow params")
     p.add_argument("--decode_batch_size", type=int, default=1,
