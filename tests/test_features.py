@@ -143,3 +143,20 @@ class TestMfcc:
         lift = lifter_coeffs(40, 22.0).astype(np.float64)
         expect = (logmel @ dct.T) * lift
         np.testing.assert_allclose(got, expect, rtol=2e-3, atol=2e-3)
+
+
+class TestGoldenRegression:
+    """Committed golden outputs of the validated front-end — guards the
+    float32 feature contract against regressions across rounds."""
+
+    def test_matches_golden_fixture(self):
+        import os
+        path = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "dsp_golden.npz")
+        data = np.load(path)
+        lps = compute_spectrogram_np(data["wave"],
+                                     SpectrogramOptions(NODITHER))
+        mfcc = compute_mfcc_np(data["wave"],
+                               MfccOptions(frame_opts=NODITHER))
+        np.testing.assert_allclose(lps, data["lps"], atol=1e-3)
+        np.testing.assert_allclose(mfcc, data["mfcc"], atol=1e-3)
