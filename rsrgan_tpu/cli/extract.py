@@ -72,7 +72,10 @@ class JitExtractor:
         padded_samples = opts.window_size + opts.window_shift * (
             pad_frames - 1)
         padded = np.zeros(padded_samples, np.float32)
-        padded[:len(wave)] = wave
+        # the wave may extend past the last kept frame's span (frames are
+        # snipped); samples beyond padded_samples contribute to no frame
+        n_copy = min(len(wave), padded_samples)
+        padded[:n_copy] = wave[:n_copy]
         if self.use_dither:
             feats = self._fn(padded_samples)(
                 padded, self.jax.random.PRNGKey(seed))

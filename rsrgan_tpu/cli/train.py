@@ -227,10 +227,12 @@ def run_sequence_training(args) -> int:
     log(f"LOG: #train_batch = {tr_num_batch}, #valid_batch = {cv_num_batch}\n"
         f"LOG: #min_iters = {min_iters}, #max_iters = {max_iters}")
 
-    # init from one example batch
+    # init from one example batch (drop_remainder=False: must also work
+    # for corpora smaller than a full bucket window)
     example = next(iter(SequenceBatcher(tr_store, global_batch,
                                         args.left_context,
-                                        args.right_context, seed=0)))
+                                        args.right_context,
+                                        drop_remainder=False, seed=0)))
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng, jnp.asarray(example.inputs),
                                jnp.asarray(example.lengths))

@@ -213,6 +213,7 @@ class ThreadedPrefetcher:
 
     def __init__(self, iterator, capacity: int = 32):
         self._queue: "queue_mod.Queue" = queue_mod.Queue(capacity)
+        self._error = None
         self._thread = threading.Thread(
             target=self._run, args=(iterator,), daemon=True)
         self._thread.start()
@@ -221,6 +222,8 @@ class ThreadedPrefetcher:
         try:
             for item in iterator:
                 self._queue.put(item)
+        except BaseException as e:  # surfaced to the consumer, not dropped
+            self._error = e
         finally:
             self._queue.put(self._DONE)
 
@@ -228,5 +231,8 @@ class ThreadedPrefetcher:
         while True:
             item = self._queue.get()
             if item is self._DONE:
+                if self._error is not None:
+                    raise RuntimeError(
+                        "prefetch producer failed") from self._error
                 return
             yield item

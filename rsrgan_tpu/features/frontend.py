@@ -92,10 +92,24 @@ def num_frames(num_samples: int, opts: FrameOptions) -> int:
 
 
 def extract_frames(wave: jnp.ndarray, opts: FrameOptions) -> jnp.ndarray:
-    """[num_samples] -> [num_frames, window_size] raw sample frames."""
-    n = num_frames(int(wave.shape[0]), opts)
-    starts = np.arange(n) * opts.window_shift
-    idx = starts[:, None] + np.arange(opts.window_size)[None, :]
+    """[num_samples] -> [num_frames, window_size] raw sample frames.
+
+    snip_edges=True: frames fully inside the wave. snip_edges=False:
+    frames centered at shift*(t+0.5) with Kaldi edge reflection
+    (feature-window.cc ExtractWindow: idx<0 -> -idx-1, idx>=n -> 2n-1-idx).
+    """
+    num_samples = int(wave.shape[0])
+    n = num_frames(num_samples, opts)
+    if opts.snip_edges:
+        starts = np.arange(n) * opts.window_shift
+        idx = starts[:, None] + np.arange(opts.window_size)[None, :]
+    else:
+        mid = (np.arange(n) * opts.window_shift
+               + opts.window_shift // 2)
+        starts = mid - opts.window_size // 2
+        idx = starts[:, None] + np.arange(opts.window_size)[None, :]
+        idx = np.where(idx < 0, -idx - 1, idx)
+        idx = np.where(idx >= num_samples, 2 * num_samples - 1 - idx, idx)
     return wave[idx]
 
 
@@ -160,6 +174,9 @@ def compute_spectrogram(wave: jnp.ndarray,
     power = power_spectrum(windowed, opts.frame_opts)
     feats = jnp.log(jnp.maximum(power, EPS_F32))
     if opts.raw_energy:
+        if opts.energy_floor > 0.0:
+            log_energy = jnp.maximum(log_energy,
+                                     math.log(opts.energy_floor))
         feats = feats.at[:, 0].set(log_energy)
     return feats
 

@@ -141,6 +141,9 @@ def compute_mfcc(wave: jnp.ndarray,
         if not opts.raw_energy:
             energy = jnp.maximum(jnp.sum(windowed ** 2, axis=1), EPS_F32)
             log_energy = jnp.log(energy)
+        if opts.energy_floor > 0.0:
+            log_energy = jnp.maximum(log_energy,
+                                     math.log(opts.energy_floor))
         feats = feats.at[:, 0].set(log_energy)
     return feats
 

@@ -122,7 +122,8 @@ class ResLstmGenerator(nn.Module):
         num_proj = inputs.shape[-1]
         num_layers = 2 if self.variant == "i" else 4
 
-        if self.lstm_impl == "wavefront":
+        use_dropout = train and self.keep_prob < 1.0
+        if self.lstm_impl == "wavefront" and not use_dropout:
             if self.variant != "l":
                 raise NotImplementedError(
                     "wavefront impl covers the res_lstm_l wiring only")
@@ -137,10 +138,15 @@ class ResLstmGenerator(nn.Module):
             return nn.Dense(self.output_dim, kernel_init=_GLOROT,
                             name="forward_out")(tap)
 
+        # dropout between layers forces the per-layer path (the fused
+        # stack has no dropout points), mirroring StackedLstm's fallback
+        impl = ("pallas" if self.lstm_impl == "wavefront"
+                else self.lstm_impl)
+
         def cell(idx):
             return LstmCellP(self.cell_size, num_proj,
                              compute_dtype=self.compute_dtype,
-                             lstm_impl=self.lstm_impl,
+                             lstm_impl=impl,
                              name=f"lstm_cell_{idx + 1}")
 
         def dropout(h):

@@ -140,6 +140,9 @@ def _stack_bwd(static, residuals, dtap_top):
     Up = c_hist.shape[-1]
     wx, wh, bias, proj, wi, wf, wo, _, _ = _prep(params_list, P,
                                                  forget_bias)
+    # match the forward's matmul dtype when recomputing xw_k, so the
+    # backward's recomputed gate activations equal the forward's
+    wx = wx.astype(cdt)
     wh = wh.astype(cdt)
     proj = proj.astype(cdt)
     mask_tb = mask  # [T, B]
@@ -152,12 +155,14 @@ def _stack_bwd(static, residuals, dtap_top):
     for k in reversed(range(L)):
         dout_k = dtap
         din_k = dtap if residual else jnp.zeros_like(dtap)
-        xw_k = jnp.einsum("tbd,dg->tbg", ins[k], wx[k])
+        xw_k = jnp.einsum("tbd,dg->tbg", ins[k].astype(cdt), wx[k],
+                          preferred_element_type=jnp.float32)
         mask3 = mask_tb[:, None, :]  # [T, 1, B]
         dxw, dwh, dproj, dbias, dwi, dwf, dwo = lstm_layer_bwd(
             T, B, Up, P, xw_k, mask3, dout_k, c_hist[k], h_hist[k],
             wh[k], proj[k], bias[k], wi[k], wf[k], wo[k])
-        din_k = din_k + jnp.einsum("tbg,dg->tbd", dxw, wx[k])
+        din_k = din_k + jnp.einsum("tbg,dg->tbd", dxw.astype(cdt), wx[k],
+                                   preferred_element_type=jnp.float32)
         dwx = jnp.einsum("tbd,tbg->dg", ins[k], dxw)
         dparams.append((dwx, dwh, dproj, dbias, dwi, dwf, dwo))
         dtap = din_k  # = d(tap_{k-1}) for k>=1; = dx for k==0

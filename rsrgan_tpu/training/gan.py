@@ -101,10 +101,15 @@ class GanTrainer:
     def _d_apply(self, d_params, inputs, target, lengths, noise_std, train,
                  noise_rng):
         x = self._d_input(inputs, target)
+        rngs = {}
+        if noise_rng is not None:
+            rngs["noise"] = noise_rng
+            if train:  # D dropout (keep_prob < 1) draws from its own stream
+                rngs["dropout"] = jax.random.fold_in(noise_rng, 1)
+        rngs = rngs or None
         if self.frame_mode:
             return self.discriminator.apply({"params": d_params}, x,
-                                            train=train)
-        rngs = {"noise": noise_rng} if noise_rng is not None else None
+                                            train=train, rngs=rngs)
         return self.discriminator.apply({"params": d_params}, x, lengths,
                                         noise_std, train, rngs=rngs)
 
@@ -133,12 +138,13 @@ class GanTrainer:
 
     # -- losses --------------------------------------------------------------
 
-    def _d_loss_fn(self, d_params, g_out, inputs, labels, lengths, hp, rngs):
+    def _d_loss_fn(self, d_params, g_out, inputs, labels, lengths, hp,
+                   rngs, train=True):
         rl_rng, fk_rng = rngs
         d_rl = self._d_apply(d_params, inputs, labels, lengths,
-                             hp["disc_noise_std"], True, rl_rng)
+                             hp["disc_noise_std"], train, rl_rng)
         d_fk = self._d_apply(d_params, inputs, g_out, lengths,
-                             hp["disc_noise_std"], True, fk_rng)
+                             hp["disc_noise_std"], train, fk_rng)
         d_rl_loss, d_fk_loss, d_loss = lsgan_d_losses(
             d_rl, d_fk, hp["d_real"], hp["d_fake"])
         return d_loss, {"d_rl_loss": d_rl_loss, "d_fk_loss": d_fk_loss,
@@ -312,7 +318,8 @@ class GanTrainer:
         rngs = jax.random.split(rng, 3)
         g_out = self._g_apply(state.g.params, inputs, lengths, False, None)
         _, d_m = self._d_loss_fn(state.d.params, g_out, inputs, labels,
-                                 lengths, hp, (rngs[0], rngs[1]))
+                                 lengths, hp, (rngs[0], rngs[1]),
+                                 train=False)
         d_fk = self._d_apply(state.d.params, inputs, g_out, lengths,
                              hp["disc_noise_std"], False, rngs[2])
         adv = lsgan_g_adv_loss(d_fk, hp["d_real"])

@@ -260,3 +260,17 @@ class TestBatchers:
         assert items[0].inputs.shape == (1, 128, 6)
         assert items[1].inputs.shape == (1, 384, 6)
         assert items[0].lengths[0] == 100
+
+
+class TestPrefetcherErrors:
+    def test_producer_exception_propagates(self):
+        from rsrgan_tpu.data import ThreadedPrefetcher
+
+        def bad_iter():
+            yield 1
+            raise OSError("disk vanished")
+
+        it = iter(ThreadedPrefetcher(bad_iter(), 4))
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="prefetch producer failed"):
+            list(it)

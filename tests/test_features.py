@@ -160,3 +160,30 @@ class TestGoldenRegression:
                                MfccOptions(frame_opts=NODITHER))
         np.testing.assert_allclose(lps, data["lps"], atol=1e-3)
         np.testing.assert_allclose(mfcc, data["mfcc"], atol=1e-3)
+
+
+class TestReviewRegressions:
+    def test_snip_edges_false_reflection(self):
+        """snip_edges=False centers frames and reflects at edges
+        (feature-window.cc ExtractWindow semantics)."""
+        from rsrgan_tpu.features.frontend import extract_frames
+        opts = FrameOptions(dither=0.0, snip_edges=False)
+        wave = np.arange(1000, dtype=np.float32)
+        frames = np.asarray(extract_frames(wave, opts))
+        assert frames.shape == (num_frames(1000, opts), 400)
+        # first frame: start = 80 - 200 = -120 -> reflected head
+        assert frames[0, 0] == wave[119]   # idx -120 -> 119
+        assert frames[0, 119] == wave[0]   # idx -1 -> 0
+        assert frames[0, 120] == wave[0]   # idx 0
+        # tail frame reflects past the end
+        last = frames[-1]
+        assert np.all(last <= 999)
+
+    def test_energy_floor_applied(self, rng):
+        wave = (rng.normal(size=4000) * 0.001).astype(np.float32)  # quiet
+        floored = compute_spectrogram_np(
+            wave, SpectrogramOptions(NODITHER, energy_floor=1.0))
+        unfloored = compute_spectrogram_np(
+            wave, SpectrogramOptions(NODITHER, energy_floor=0.0))
+        assert floored[:, 0].min() >= 0.0 - 1e-6   # log(1.0) = 0 floor
+        assert unfloored[:, 0].min() < 0.0

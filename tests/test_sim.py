@@ -147,3 +147,19 @@ class TestEndToEnd:
         assert c0.shape[1] == 40
         stats = read_kaldi_cmvn(os.path.join(feats_dir, "inputs.cmvn"))
         assert stats.shape == (2, 258)
+
+
+class TestExtractEdgeCases:
+    def test_exact_frame_pad_multiple_with_tail(self, tmp_path, rng):
+        """Wave whose frame count is an exact FRAME_PAD multiple but with
+        trailing samples beyond the last frame (used to crash)."""
+        from rsrgan_tpu.cli.extract import FRAME_PAD, JitExtractor
+        from rsrgan_tpu.features import FrameOptions
+        opts = FrameOptions(dither=0.0)
+        n_samples = opts.window_size + opts.window_shift * (FRAME_PAD - 1) \
+            + 100  # 100 extra tail samples -> n_frames == FRAME_PAD
+        wave = rng.normal(size=n_samples).astype(np.float32) * 100
+        ex = JitExtractor("spectrogram", opts, use_dither=False)
+        feats = ex(wave, 0)
+        assert feats.shape == (FRAME_PAD, 257)
+        assert np.isfinite(feats).all()

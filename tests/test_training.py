@@ -311,3 +311,23 @@ class TestBnLstmTrainer:
                         jax.tree.leaves(jax.tree.map(np.asarray,
                                                      state.net.extra))):
             np.testing.assert_array_equal(a, b)
+
+
+class TestDropoutPaths:
+    def test_gan_step_with_keep_prob_below_one(self, rng):
+        """keep_prob < 1 must run (D dropout rng supplied) — used to crash
+        with flax InvalidRngError."""
+        gen = ResLstmGenerator(output_dim=D_OUT, variant="l", cell_size=12,
+                               keep_prob=0.8)
+        disc = LstmDiscriminator(cell_size=8, num_projection=4,
+                                 keep_prob=0.8)
+        trainer = GanTrainer(gen, disc, output_dim=D_OUT, input_dim=D_IN,
+                             disc_updates=1, gen_updates=1, l2_scale=0.0)
+        x, y, lengths = make_batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        state, m = trainer.train_step(state, x, y, lengths, HP,
+                                      jax.random.PRNGKey(1))
+        assert np.isfinite(float(m["g_loss"]))
+        ev = trainer.eval_step(state, x, y, lengths, HP,
+                               jax.random.PRNGKey(2))
+        assert np.isfinite(float(ev["g_loss"]))
