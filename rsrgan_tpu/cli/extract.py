@@ -95,13 +95,16 @@ def main(argv=None) -> int:
     p.add_argument("--dither_seed", type=int, default=0,
                    help="deterministic dither stream")
     p.add_argument("--accumulate_cmvn", action="store_true")
+    p.add_argument("--compress", action="store_true",
+                   help="write Kaldi CompressedMatrix arks "
+                        "(copy-feats --compress=true equivalent)")
     args = p.parse_args(argv)
 
     frame_opts = FrameOptions(dither=args.dither)
     os.makedirs(args.output_dir, exist_ok=True)
     scp_path = os.path.join(args.output_dir, args.name + ".scp")
     ark_path = os.path.join(args.output_dir, args.name + ".ark")
-    writer = ArkWriter(scp_path)
+    writer = ArkWriter(scp_path, compress=args.compress)
     acc = None
 
     extractor = JitExtractor(args.feat_type, frame_opts, args.dither > 0)

@@ -190,6 +190,59 @@ class ScpReader:
 # writing
 # ---------------------------------------------------------------------------
 
+def _encode_compressed(mat: np.ndarray) -> bytes:
+    """Encode a matrix as Kaldi CompressedMatrix format 1 ("BCM ") body.
+
+    Inverse of :func:`_decode_compressed` (the read path the reference keeps
+    at io_funcs/kaldi_io.py:121-161; the reference has NO compressed writer).
+    Follows Kaldi's quantization scheme: a global float32 [min, range], four
+    per-column uint16 percentile anchors (0/25/75/100), and one uint8 per
+    element quantized piecewise-linearly over [p0,p25], [p25,p75], [p75,p100]
+    with 64/128/63 steps. Fully vectorized.
+    """
+    mat64 = np.asarray(mat, dtype=np.float64)
+    if mat64.ndim != 2 or mat64.shape[1] == 0 or mat64.shape[0] == 0:
+        raise ValueError(f"cannot compress matrix of shape {mat64.shape}")
+    if not np.all(np.isfinite(mat64)):
+        raise ValueError("cannot compress a matrix with non-finite values")
+    rows, cols = mat64.shape
+    # Global header stores float32; quantize against the float32 values the
+    # reader will parse back, so roundtrip matches the decoder exactly.
+    min_value = float(np.float32(mat64.min()))
+    value_range = float(np.float32(mat64.max() - min_value))
+    if value_range <= 0.0:
+        value_range = 1.0  # Kaldi's guard for constant matrices
+
+    def to_u16(x: np.ndarray) -> np.ndarray:
+        f = np.clip((x - min_value) / value_range, 0.0, 1.0)
+        return np.floor(f * 65535.0 + 0.499).astype(np.int64)
+
+    col = np.ascontiguousarray(mat64.T)          # [cols, rows], column-major
+    s = np.sort(col, axis=1)
+    i25 = min(rows // 4, rows - 1)
+    i75 = min(3 * (rows // 4), rows - 1)
+    # Percentile anchors forced strictly increasing (Kaldi ComputeColHeader).
+    p0 = np.minimum(to_u16(s[:, 0]), 65532)
+    p25 = np.minimum(np.maximum(to_u16(s[:, i25]), p0 + 1), 65533)
+    p75 = np.minimum(np.maximum(to_u16(s[:, i75]), p25 + 1), 65534)
+    p100 = np.maximum(to_u16(s[:, rows - 1]), p75 + 1)
+    headers = np.stack([p0, p25, p75, p100], axis=1).astype("<u2")
+
+    # Quantize elements against the *dequantized* anchors (what readers use).
+    f = min_value + value_range * (1.0 / 65535.0) * headers.astype(np.float64)
+    f0, f25, f75, f100 = (f[:, k:k + 1] for k in range(4))
+    lo = np.clip(np.floor((col - f0) / (f25 - f0) * 64.0 + 0.5), 0, 64)
+    mid = np.clip(64.0 + np.floor((col - f25) / (f75 - f25) * 128.0 + 0.5),
+                  64, 192)
+    hi = np.clip(192.0 + np.floor((col - f75) / (f100 - f75) * 63.0 + 0.5),
+                 192, 255)
+    quant = np.where(col < f25, lo, np.where(col < f75, mid, hi))
+
+    return (b"\0BCM " +
+            _GLOBAL_HEADER.pack(min_value, value_range, rows, cols) +
+            headers.tobytes() + quant.astype(np.uint8).tobytes())
+
+
 class ArkWriter:
     """Write float32 matrices to .ark with a paired .scp (kaldi_io.py:244-283).
 
@@ -197,13 +250,15 @@ class ArkWriter:
     emit the Kaldi-standard space between utt id and binary marker.
     """
 
-    def __init__(self, scp_path: str):
+    def __init__(self, scp_path: str, compress: bool = False):
         self.scp_path = scp_path
+        self.compress = compress
         self._scp = open(scp_path, "w")
         self._arks = {}
 
     def write_next_utt(self, ark_path: str, utt_id: str,
-                       utt_mat: np.ndarray) -> None:
+                       utt_mat: np.ndarray,
+                       compress: Optional[bool] = None) -> None:
         mat = np.ascontiguousarray(utt_mat, dtype="<f4")
         if mat.ndim != 2:
             raise ValueError(f"expected a 2-D matrix, got shape {mat.shape}")
@@ -214,10 +269,13 @@ class ArkWriter:
             self._arks[ark_path] = ark
         ark.write(utt_id.encode("utf-8") + b" ")
         pos = ark.tell()
-        ark.write(b"\0BFM ")
-        ark.write(struct.pack("<bi", 4, rows))
-        ark.write(struct.pack("<bi", 4, cols))
-        ark.write(mat.tobytes())
+        if compress if compress is not None else self.compress:
+            ark.write(_encode_compressed(mat))
+        else:
+            ark.write(b"\0BFM ")
+            ark.write(struct.pack("<bi", 4, rows))
+            ark.write(struct.pack("<bi", 4, cols))
+            ark.write(mat.tobytes())
         ark.flush()
         self._scp.write(f"{utt_id} {ark_path}:{pos}\n")
         self._scp.flush()
@@ -235,8 +293,16 @@ class ArkWriter:
         self.close()
 
 
-def write_matrix(buf, mat: np.ndarray) -> None:
-    """Write one "\0BFM " float matrix body (no key) to a file object."""
+def write_matrix(buf, mat: np.ndarray, compress: bool = False) -> None:
+    """Write one binary matrix body (no key) to a file object.
+
+    ``compress=True`` emits Kaldi CompressedMatrix format 1 ("\0BCM ", the
+    equivalent of Kaldi's copy-feats --compress=true); otherwise a plain
+    float32 "\0BFM " matrix.
+    """
+    if compress:
+        buf.write(_encode_compressed(mat))
+        return
     mat = np.ascontiguousarray(mat, dtype="<f4")
     rows, cols = mat.shape
     buf.write(b"\0BFM ")

@@ -101,6 +101,44 @@ class TestArkCodec:
         mat = read_ark_matrix(ark, pos)
         assert mat.shape == (rows, cols)
 
+    def test_compressed_write_roundtrip(self, tmp_path, rng):
+        """ArkWriter(compress=True) emits BCM our reader decodes accurately."""
+        mats = {
+            "gauss": rng.normal(scale=3.0, size=(120, 13)),
+            "tiny": rng.normal(size=(1, 4)),          # single-row corner case
+            "constant": np.full((9, 5), 2.5),         # zero dynamic range
+            "outliers": np.concatenate(
+                [rng.normal(size=(200, 6)),
+                 rng.normal(scale=50.0, size=(3, 6))]),
+        }
+        scp = str(tmp_path / "c.scp")
+        ark = str(tmp_path / "c.ark")
+        with ArkWriter(scp, compress=True) as w:
+            for utt, m in mats.items():
+                w.write_next_utt(ark, utt, m)
+        reader = ScpReader(scp)
+        for utt, m in mats.items():
+            with open(ark, "rb") as f:
+                f.seek(dict((u, o) for u, p, o in reader.entries)[utt])
+                assert f.read(5) == b"\0BCM "
+            got = reader.read_utt(utt)
+            assert got.shape == m.shape
+            # percentile quantization: inner 25-75 band has ~1/128 of the
+            # band width resolution; bound overall error loosely by range/64
+            span = float(m.max() - m.min())
+            tol = max(span / 64.0, 1e-4)
+            assert np.max(np.abs(got - m.astype(np.float32))) <= tol
+            # bulk of the data should be much tighter than the loose bound
+            med_err = np.median(np.abs(got - m))
+            assert med_err <= max(span / 500.0, 1e-5)
+
+    def test_compressed_write_rejects_bad_input(self, tmp_path):
+        from rsrgan_tpu.data.kaldi_ark import _encode_compressed
+        with np.testing.assert_raises(ValueError):
+            _encode_compressed(np.array([[1.0, np.inf]]))
+        with np.testing.assert_raises(ValueError):
+            _encode_compressed(np.zeros((0, 3)))
+
 
 class TestCmvn:
     def test_accumulator_matches_direct(self, rng):
