@@ -52,18 +52,25 @@ def log(msg: str) -> None:
 
 
 class MetricsWriter:
-    """Structured JSONL metrics (the reference's TensorBoard summaries,
-    models/gan_rnn_placeholder.py:81-86, as grep-able records)."""
+    """Structured metrics sink: grep-able JSONL plus (optionally) real
+    TensorBoard event files, mirroring the reference's per-split FileWriters
+    into save_dir/train and save_dir/eval
+    (models/gan_rnn_placeholder.py:81-86)."""
 
-    def __init__(self, save_dir: str, split: str):
+    def __init__(self, save_dir: str, split: str, tensorboard: bool = False):
         os.makedirs(save_dir, exist_ok=True)
         self.path = os.path.join(save_dir, f"metrics_{split}.jsonl")
+        self._tb = None
+        if tensorboard:
+            from rsrgan_tpu.training.tensorboard import EventFileWriter
+            self._tb = EventFileWriter(os.path.join(save_dir, split))
 
     def write(self, iteration: int, metrics: dict) -> None:
-        rec = {"iteration": iteration,
-               **{k: float(v) for k, v in metrics.items()}}
+        scalars = {k: float(v) for k, v in metrics.items()}
         with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+            f.write(json.dumps({"iteration": iteration, **scalars}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalars(iteration, scalars)
 
 
 def resolve_lstm_impl(args) -> str:
@@ -249,8 +256,8 @@ def run_sequence_training(args) -> int:
     hp = make_hparams(args, num_devices)
     tracker = ImprovementTracker(args.end_improve)
     profiler = Profiler(args.profile_dir)
-    tr_writer = MetricsWriter(args.save_dir, "train")
-    cv_writer = MetricsWriter(args.save_dir, "eval")
+    tr_writer = MetricsWriter(args.save_dir, "train", args.tensorboard)
+    cv_writer = MetricsWriter(args.save_dir, "eval", args.tensorboard)
     step_rng = jax.random.PRNGKey(args.seed + 1)
     metric_keys = GAN_METRICS if is_gan else MSE_METRICS
 
@@ -433,8 +440,8 @@ def run_frame_training(args) -> int:
     hp = make_hparams(args, num_devices)
     profiler = Profiler(args.profile_dir)
     g_lr = float(hp["g_lr"])
-    tr_writer = MetricsWriter(args.save_dir, "train")
-    cv_writer = MetricsWriter(args.save_dir, "eval")
+    tr_writer = MetricsWriter(args.save_dir, "train", args.tensorboard)
+    cv_writer = MetricsWriter(args.save_dir, "eval", args.tensorboard)
     step_rng = jax.random.PRNGKey(args.seed + 1)
     metric_keys = (SEGAN_METRICS if is_segan
                    else GAN_METRICS if is_gan else MSE_METRICS)
@@ -697,6 +704,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep_lr", type=int, default=3)
     p.add_argument("--decay_factor", type=float, default=0.5)
     # TPU-specific
+    p.add_argument("--tensorboard", type=str2bool, nargs="?", default=True,
+                   help="also write TensorBoard event files under "
+                        "save_dir/{train,eval} (reference FileWriter parity)")
     p.add_argument("--bf16", type=str2bool, nargs="?", default=True,
                    help="bfloat16 matmuls in models (recommended on TPU)")
     p.add_argument("--steps_per_call", type=int, default=8,

@@ -331,3 +331,30 @@ class TestDropoutPaths:
         ev = trainer.eval_step(state, x, y, lengths, HP,
                                jax.random.PRNGKey(2))
         assert np.isfinite(float(ev["g_loss"]))
+
+
+class TestTensorboardEvents:
+    def test_crc32c_known_vectors(self):
+        from rsrgan_tpu.training.tensorboard import crc32c
+        assert crc32c(b"123456789") == 0xE3069283  # RFC 3720 check value
+        assert crc32c(b"") == 0
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+    def test_events_readable_by_tensorflow(self, tmp_path):
+        """Our hand-encoded event files must parse with TF's own iterator."""
+        from rsrgan_tpu.training.tensorboard import EventFileWriter
+        with EventFileWriter(str(tmp_path)) as w:
+            w.add_scalars(3, {"g_loss": 1.5, "d_loss": -0.25})
+            w.add_scalars(4, {"g_loss": 1.25})
+            path = w.path
+
+        tf = pytest.importorskip("tensorflow")
+        events = list(tf.compat.v1.train.summary_iterator(path))
+        assert events[0].file_version == "brain.Event:2"
+        scalars = {
+            (e.step, v.tag): v.simple_value
+            for e in events[1:] for v in e.summary.value
+        }
+        assert scalars[(3, "g_loss")] == pytest.approx(1.5)
+        assert scalars[(3, "d_loss")] == pytest.approx(-0.25)
+        assert scalars[(4, "g_loss")] == pytest.approx(1.25)
