@@ -25,6 +25,7 @@ import datetime
 import json
 import os
 import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -37,7 +38,8 @@ from rsrgan_tpu.models import get_discriminator, get_generator
 from rsrgan_tpu.parallel import make_mesh, replicate, shard_batch
 from rsrgan_tpu.training import (GanTrainer, ImprovementTracker, MseTrainer,
                                  exponential_decay, load_checkpoint,
-                                 save_checkpoint, staged_decay)
+                                 load_newest_state, save_checkpoint,
+                                 save_periodic_snapshot, staged_decay)
 
 GAN_METRICS = ("d_rl_loss", "d_fk_loss", "d_loss", "g_adv_loss",
                "g_mse_loss", "g_l2_loss", "g_loss")
@@ -71,6 +73,32 @@ class MetricsWriter:
             f.write(json.dumps({"iteration": iteration, **scalars}) + "\n")
         if self._tb is not None:
             self._tb.add_scalars(iteration, scalars)
+
+
+class PeriodicSnapshotter:
+    """Time-based mid-iteration crash-recovery snapshots
+    (--checkpoint_every_secs; the reference only saves at iteration ends,
+    scripts/train_gan_rnn_placeholder.py:535-554)."""
+
+    def __init__(self, save_dir: str, name: str, every_secs: float):
+        self.save_dir, self.name, self.every = save_dir, name, every_secs
+        self._last = time.monotonic()
+
+    def maybe(self, state) -> None:
+        if self.every <= 0 or time.monotonic() - self._last < self.every:
+            return
+        save_periodic_snapshot(self.save_dir, self.name,
+                               jax.device_get(state))
+        self._last = time.monotonic()
+        log(f"Periodic snapshot saved ({self.name}.periodic.ckpt)")
+
+
+def restore_state(args, name: str, state):
+    """Latest accepted checkpoint; with periodic snapshots enabled, a newer
+    mid-iteration snapshot wins (crash recovery)."""
+    if args.checkpoint_every_secs > 0:
+        return load_newest_state(args.save_dir, name, state)
+    return load_checkpoint(args.save_dir, name, state), "checkpoint"
 
 
 def resolve_lstm_impl(args) -> str:
@@ -243,15 +271,17 @@ def run_sequence_training(args) -> int:
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng, jnp.asarray(example.inputs),
                                jnp.asarray(example.lengths))
-    restored = load_checkpoint(args.save_dir, name, state)
+    restored, restore_src = restore_state(args, name, state)
     if restored is not None:
         state = restored
-        log("[*] Load SUCCESS")
+        log(f"[*] Load SUCCESS ({restore_src})")
     else:
         log("[!] Begin a new model.")
     if mesh is not None:
         state = replicate(mesh, state)
 
+    snapper = PeriodicSnapshotter(args.save_dir, name,
+                                  args.checkpoint_every_secs)
     show_all_variables(state)
     hp = make_hparams(args, num_devices)
     tracker = ImprovementTracker(args.end_improve)
@@ -291,6 +321,7 @@ def run_sequence_training(args) -> int:
                         state, m = trainer.train_step(state, *arrays,
                                                       hp["g_lr"], sub)
                     tr_accum.append(m)
+                    snapper.maybe(state)
                 return
             step_rng, sub = jax.random.split(step_rng)
             stacked = (np.stack([b.inputs for b in batches]),
@@ -305,6 +336,7 @@ def run_sequence_training(args) -> int:
                 state, m = trainer.train_multi_step(state, *arrays,
                                                     hp["g_lr"], sub)
             tr_accum.extend([m] * len(batches))
+            snapper.maybe(state)
 
         if is_gan and not args.same_batch:
             # graph-fed variant: D and G consume different minibatches
@@ -331,6 +363,7 @@ def run_sequence_training(args) -> int:
                         state, m = trainer.g_step(state, *next_arrays(),
                                                   hp, sub)
                         g_accum.append(m)
+                    snapper.maybe(state)
             except StopIteration:
                 pass
             if d_accum and g_accum:
@@ -427,15 +460,17 @@ def run_frame_training(args) -> int:
     x0, y0 = next(iter(tr_batches))
     rng = jax.random.PRNGKey(args.seed)
     state = trainer.init_state(rng, jnp.asarray(x0))
-    restored = load_checkpoint(args.save_dir, name, state)
+    restored, restore_src = restore_state(args, name, state)
     if restored is not None:
         state = restored
-        log("[*] Load SUCCESS")
+        log(f"[*] Load SUCCESS ({restore_src})")
     else:
         log("[!] Begin a new model.")
     if mesh is not None:
         state = replicate(mesh, state)
 
+    snapper = PeriodicSnapshotter(args.save_dir, name,
+                                  args.checkpoint_every_secs)
     show_all_variables(state)
     hp = make_hparams(args, num_devices)
     profiler = Profiler(args.profile_dir)
@@ -485,6 +520,7 @@ def run_frame_training(args) -> int:
                 state, m = trainer.train_step(state, *arrays, None,
                                               jnp.float32(g_lr), sub)
             tr_accum.append(m)
+            snapper.maybe(state)
         tr_m = _avg(tr_accum)
         cv_m = eval_epoch(state)
         took = (datetime.datetime.now() - start).total_seconds()
@@ -704,6 +740,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep_lr", type=int, default=3)
     p.add_argument("--decay_factor", type=float, default=0.5)
     # TPU-specific
+    p.add_argument("--checkpoint_every_secs", type=float, default=0.0,
+                   help="also snapshot the live state every N seconds "
+                        "mid-iteration (crash recovery; 0 = off)")
     p.add_argument("--tensorboard", type=str2bool, nargs="?", default=True,
                    help="also write TensorBoard event files under "
                         "save_dir/{train,eval} (reference FileWriter parity)")

@@ -2,7 +2,10 @@
 
 from rsrgan_tpu.training.checkpoints import (latest_checkpoint,
                                              load_checkpoint,
-                                             save_checkpoint, swap_in_ema)
+                                             load_newest_state,
+                                             save_checkpoint,
+                                             save_periodic_snapshot,
+                                             swap_in_ema)
 from rsrgan_tpu.training.gan import GanState, GanTrainer, default_hparams
 from rsrgan_tpu.training.losses import (g_mse_loss, l2_loss_nonbias,
                                         lsgan_d_losses, lsgan_g_adv_loss)

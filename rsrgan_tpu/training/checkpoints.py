@@ -40,6 +40,42 @@ def save_checkpoint(save_dir: str, name: str, state: Any, step: int,
     return path
 
 
+def periodic_snapshot_path(save_dir: str, name: str) -> str:
+    return os.path.join(save_dir, f"{name}.periodic.ckpt")
+
+
+def save_periodic_snapshot(save_dir: str, name: str, state: Any) -> str:
+    """Atomically overwrite the mid-iteration crash-recovery snapshot.
+
+    The reference only checkpoints at iteration/epoch boundaries
+    (scripts/train_gan_rnn_placeholder.py:535-554); with hour-long
+    iterations a crash loses the whole pass. The snapshot lives outside the
+    accepted-checkpoint rotation and never enters the ``checkpoint`` file.
+    """
+    os.makedirs(save_dir, exist_ok=True)
+    path = periodic_snapshot_path(save_dir, name)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(flax.serialization.to_bytes(state))
+    os.replace(tmp, path)
+    return path
+
+
+def load_newest_state(save_dir: str, name: str, target: Any):
+    """Restore from the latest accepted checkpoint OR a newer periodic
+    snapshot. Returns (state_or_None, source_label)."""
+    ckpt = latest_checkpoint(save_dir, name)
+    snap = periodic_snapshot_path(save_dir, name)
+    snap_t = os.path.getmtime(snap) if os.path.isfile(snap) else None
+    ckpt_t = os.path.getmtime(ckpt) if ckpt and os.path.isfile(ckpt) else None
+    if snap_t is not None and (ckpt_t is None or snap_t > ckpt_t):
+        with open(snap, "rb") as f:
+            return flax.serialization.from_bytes(target, f.read()), "periodic"
+    if ckpt_t is not None:
+        return load_checkpoint(save_dir, name, target), "checkpoint"
+    return None, None
+
+
 def latest_checkpoint(save_dir: str, name: str) -> Optional[str]:
     ckpt_file = _checkpoint_file(save_dir)
     if os.path.isfile(ckpt_file):

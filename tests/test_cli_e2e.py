@@ -266,3 +266,32 @@ def test_training_resumes_from_checkpoint(corpus, tmp_path):
     with open(os.path.join(save_dir, "metrics_eval.jsonl")) as f:
         second_loss = json.loads(f.readlines()[-1])["g_loss"]
     assert second_loss <= first_loss * 1.05
+
+
+def test_periodic_snapshot_cli(corpus, tmp_path):
+    """--checkpoint_every_secs writes a mid-epoch crash-recovery snapshot
+    and the next invocation restores from it when it is newest."""
+    data_dir = corpus
+    save_dir = str(tmp_path / "snap_exp")
+    common = [
+        "--trainer=dnn", "--g_type=dnn",
+        f"--data_dir={data_dir}",
+        f"--tr_list_file={os.path.join(data_dir, 'tr.list')}",
+        f"--cv_list_file={os.path.join(data_dir, 'cv.list')}",
+        f"--save_dir={save_dir}",
+        "--input_dim=16", "--output_dim=6", "--batch_size=8",
+        "--g_learning_rate=0.001", "--keep_lr=1", "--bf16=false",
+        "--l2_scale=0.0", "--checkpoint_every_secs=0.01"]
+    assert train_cli.main(common + ["--min_epoches=1",
+                                    "--max_epoches=1"]) == 0
+    snap = os.path.join(save_dir, "DNNTrainer.periodic.ckpt")
+    assert os.path.isfile(snap)
+    # make the snapshot newest; the resume log should say "periodic"
+    os.utime(snap)
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert train_cli.main(common + ["--min_epoches=1",
+                                        "--max_epoches=1"]) == 0
+    assert "Load SUCCESS (periodic)" in buf.getvalue()

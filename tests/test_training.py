@@ -255,6 +255,44 @@ class TestMseTrainer:
         restored = load_checkpoint(str(tmp_path), "M", state)
         assert restored is not None
 
+    def test_periodic_snapshot_recovery(self, rng, tmp_path):
+        """A newer mid-iteration snapshot wins over the accepted checkpoint;
+        an accepted save newer than the snapshot wins back."""
+        import os
+        import time
+
+        from rsrgan_tpu.training import load_newest_state, \
+            save_periodic_snapshot
+
+        gen = DnnGenerator(output_dim=D_OUT, units=8)
+        trainer = MseTrainer(gen, output_dim=D_OUT, sequence_mode=False)
+        x = jnp.asarray(rng.normal(size=(4, D_IN)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(4, D_OUT)), jnp.float32)
+        s_dev = trainer.init_state(jax.random.PRNGKey(0), x)
+        s0 = jax.device_get(s_dev)  # train_step donates its input buffers
+        save_checkpoint(str(tmp_path), "M", s0, 1)
+        s1, _ = trainer.train_step(s_dev, x, y, None, jnp.float32(1e-2),
+                                   jax.random.PRNGKey(1))
+        s1 = jax.device_get(s1)
+        time.sleep(0.05)
+        save_periodic_snapshot(str(tmp_path), "M", s1)
+        got, src = load_newest_state(str(tmp_path), "M", s0)
+        assert src == "periodic"
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(got)[0]),
+            np.asarray(jax.tree.leaves(s1)[0]))
+        # accepted checkpoint newer than the snapshot -> checkpoint wins
+        time.sleep(0.05)
+        save_checkpoint(str(tmp_path), "M", s0, 2)
+        got, src = load_newest_state(str(tmp_path), "M", s0)
+        assert src == "checkpoint"
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(got)[0]),
+            np.asarray(jax.tree.leaves(s0)[0]))
+        # snapshot never enters the accepted rotation / pointer file
+        assert "periodic" not in open(
+            os.path.join(tmp_path, "checkpoint")).read()
+
 
 class TestSharedGForward:
     def test_shared_forward_matches_unshared(self, rng):
