@@ -254,13 +254,10 @@ def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
       w_i, w_f, w_o)
 
 
-def lstm_layer_bwd(T, B, Up, P, xw, mask3, dout, c_hist, h_hist, w_h,
-                   proj, bias, w_i, w_f, w_o):
-    """Single-layer backward: reverse kernel + weight-grad reductions as
-    full-sequence MXU matmuls. Returns
-    (dxw, dwh, dproj, dbias, dwi, dwf, dwo) in padded gate dims."""
-    dxw, m_m, dh_m = _bwd_pallas(T, B, Up, P, xw, mask3, dout, c_hist,
-                                 h_hist, w_h, proj, bias, w_i, w_f, w_o)
+def lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist):
+    """Weight-gradient reductions from the reverse kernel's streams, as
+    full-sequence MXU matmuls. Returns (dwh, dproj, dbias, dwi, dwf, dwo)
+    in padded gate dims."""
     zero_row = jnp.zeros((1,) + h_hist.shape[1:], h_hist.dtype)
     h_prev_seq = jnp.concatenate([zero_row, h_hist[:-1]], axis=0)
     zero_c = jnp.zeros((1,) + c_hist.shape[1:], c_hist.dtype)
@@ -275,7 +272,17 @@ def lstm_layer_bwd(T, B, Up, P, xw, mask3, dout, c_hist, h_hist, w_h,
     dwi = jnp.sum(di * c_prev_seq, axis=(0, 1))[None]
     dwf = jnp.sum(df * c_prev_seq, axis=(0, 1))[None]
     dwo = jnp.sum(do * c_hist, axis=(0, 1))[None]
-    return dxw, dwh, dproj, dbias, dwi, dwf, dwo
+    return dwh, dproj, dbias, dwi, dwf, dwo
+
+
+def lstm_layer_bwd(T, B, Up, P, xw, mask3, dout, c_hist, h_hist, w_h,
+                   proj, bias, w_i, w_f, w_o):
+    """Single-layer backward: reverse kernel + weight-grad reductions as
+    full-sequence MXU matmuls. Returns
+    (dxw, dwh, dproj, dbias, dwi, dwf, dwo) in padded gate dims."""
+    dxw, m_m, dh_m = _bwd_pallas(T, B, Up, P, xw, mask3, dout, c_hist,
+                                 h_hist, w_h, proj, bias, w_i, w_f, w_o)
+    return (dxw,) + lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist)
 
 
 # ---------------------------------------------------------------------------

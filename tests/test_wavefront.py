@@ -63,3 +63,29 @@ def test_plain_stack_wavefront_matches_scan(rng):
     np.testing.assert_allclose(np.asarray(ow), np.asarray(os_), atol=1e-5)
     for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_odd_layer_stack_mixes_pair_and_single(rng):
+    """L=3 walks one reverse pair + the per-layer fallback for layer 0."""
+    from rsrgan_tpu.ops.lstm import StackedLstm
+
+    B3, T3, P3 = 2, 13, 5
+    x = jnp.asarray(rng.normal(size=(B3, T3, P3)), jnp.float32)
+    lens = jnp.array([T3, 7], jnp.int32)
+    scan_m = StackedLstm(num_layers=3, num_units=8, num_proj=P3,
+                         lstm_impl="scan")
+    wave_m = StackedLstm(num_layers=3, num_units=8, num_proj=P3,
+                         lstm_impl="wavefront")
+    params = scan_m.init(jax.random.PRNGKey(0), x, lens)
+
+    def loss(m):
+        return lambda p, x: jnp.sum(jnp.cos(m.apply(p, x, lens)))
+
+    with pltpu.force_tpu_interpret_mode():
+        ow = wave_m.apply(params, x, lens)
+        gw = jax.grad(loss(wave_m), argnums=(0, 1))(params, x)
+    os_ = scan_m.apply(params, x, lens)
+    gs = jax.grad(loss(scan_m), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(ow), np.asarray(os_), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
