@@ -31,11 +31,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rsrgan_tpu.data import (ArkWriter, FrameBatcher, SequenceBatcher,
+from rsrgan_tpu.data import (ArkWriter, FrameBatcher,
+                             HostShardedFrameBatches,
+                             HostShardedSequenceBatches, SequenceBatcher,
                              ThreadedPrefetcher, UtteranceStore,
                              infer_batches, load_cmvn_npz, read_list_file)
 from rsrgan_tpu.models import get_discriminator, get_generator
-from rsrgan_tpu.parallel import make_mesh, replicate, shard_batch
+from rsrgan_tpu.parallel import (initialize as init_distributed,
+                                 is_coordinator, make_mesh, replicate,
+                                 shard_batch)
 from rsrgan_tpu.training import (GanTrainer, ImprovementTracker, MseTrainer,
                                  exponential_decay, load_checkpoint,
                                  load_newest_state, save_checkpoint,
@@ -169,6 +173,25 @@ def build_trainer(args, compute_dtype):
     raise ValueError(f"unknown trainer {args.trainer}")
 
 
+def setup_devices(args):
+    """(mesh, num_devices, process_index, process_count).
+
+    Single process: the reference's --num_gpu tower count maps to the
+    first N local devices. Multi-process (--coordinator_address): one mesh
+    over ALL global devices; grads psum over ICI within a host and DCN
+    across hosts.
+    """
+    pid, pcount = jax.process_index(), jax.process_count()
+    if pcount > 1:
+        num_devices = jax.device_count()
+        if args.num_gpu not in (1, num_devices):
+            log(f"NOTE: --num_gpu={args.num_gpu} ignored in multi-process "
+                f"mode; using all {num_devices} global devices")
+        return make_mesh(None), num_devices, pid, pcount
+    mesh = make_mesh(args.num_gpu) if args.num_gpu > 1 else None
+    return mesh, args.num_gpu, pid, pcount
+
+
 def model_name(args) -> str:
     return {"gan_rnn": "GAN_RNN", "gan_dnn": "GAN", "rnn": "RNNTrainer",
             "dnn": "DNNTrainer", "segan": "SEGAN"}[args.trainer]
@@ -237,8 +260,7 @@ def run_sequence_training(args) -> int:
     tr_store = UtteranceStore(read_list_file(args.tr_list_file))
     cv_store = UtteranceStore(read_list_file(args.cv_list_file))
 
-    mesh = make_mesh(args.num_gpu) if args.num_gpu > 1 else None
-    num_devices = args.num_gpu
+    mesh, num_devices, pid, pcount = setup_devices(args)
     global_batch = args.batch_size * num_devices
 
     def make_batcher(store, shuffle):
@@ -256,6 +278,10 @@ def run_sequence_training(args) -> int:
 
     tr_batches = make_batcher(tr_store, True)
     cv_batches = make_batcher(cv_store, False)
+    if pcount > 1:
+        # shared global plan; this host materializes only its rows
+        tr_batches = HostShardedSequenceBatches(tr_batches, pid, pcount)
+        cv_batches = HostShardedSequenceBatches(cv_batches, pid, pcount)
     tr_num_batch = tr_batches.num_batches()
     cv_num_batch = cv_batches.num_batches()
     min_iters, max_iters = args.min_epoches, args.max_epoches
@@ -280,14 +306,17 @@ def run_sequence_training(args) -> int:
     if mesh is not None:
         state = replicate(mesh, state)
 
-    snapper = PeriodicSnapshotter(args.save_dir, name,
-                                  args.checkpoint_every_secs)
+    snapper = PeriodicSnapshotter(
+        args.save_dir, name,
+        args.checkpoint_every_secs if is_coordinator() else 0.0)
     show_all_variables(state)
     hp = make_hparams(args, num_devices)
     tracker = ImprovementTracker(args.end_improve)
     profiler = Profiler(args.profile_dir)
-    tr_writer = MetricsWriter(args.save_dir, "train", args.tensorboard)
-    cv_writer = MetricsWriter(args.save_dir, "eval", args.tensorboard)
+    tr_writer = MetricsWriter(args.save_dir, "train",
+                              args.tensorboard and is_coordinator())
+    cv_writer = MetricsWriter(args.save_dir, "eval",
+                              args.tensorboard and is_coordinator())
     step_rng = jax.random.PRNGKey(args.seed + 1)
     metric_keys = GAN_METRICS if is_gan else MSE_METRICS
 
@@ -419,8 +448,9 @@ def run_sequence_training(args) -> int:
 
         tracker.add(cv_m["g_loss"])
         if tracker.check(iteration):
-            save_checkpoint(args.save_dir, name, jax.device_get(state),
-                            iteration + 1)
+            if is_coordinator():
+                save_checkpoint(args.save_dir, name, jax.device_get(state),
+                                iteration + 1)
             log(f"Iteration {iteration + 1}: Nnet Accepted. "
                 f"Save model SUCCESS.")
         else:
@@ -445,8 +475,7 @@ def run_frame_training(args) -> int:
 
     tr_store = UtteranceStore(read_list_file(args.tr_list_file))
     cv_store = UtteranceStore(read_list_file(args.cv_list_file))
-    mesh = make_mesh(args.num_gpu) if args.num_gpu > 1 else None
-    num_devices = args.num_gpu
+    mesh, num_devices, pid, pcount = setup_devices(args)
     global_batch = args.batch_size * num_devices
 
     tr_batches = FrameBatcher(tr_store, global_batch, args.left_context,
@@ -454,6 +483,9 @@ def run_frame_training(args) -> int:
     cv_batches = FrameBatcher(cv_store, global_batch, args.left_context,
                               args.right_context, shuffle=False,
                               seed=args.seed)
+    if pcount > 1:
+        tr_batches = HostShardedFrameBatches(tr_batches, pid, pcount)
+        cv_batches = HostShardedFrameBatches(cv_batches, pid, pcount)
     log(f"LOG: #train_batch = {tr_batches.num_batches()}, "
         f"#valid_batch = {cv_batches.num_batches()}")
 
@@ -469,8 +501,9 @@ def run_frame_training(args) -> int:
     if mesh is not None:
         state = replicate(mesh, state)
 
-    snapper = PeriodicSnapshotter(args.save_dir, name,
-                                  args.checkpoint_every_secs)
+    snapper = PeriodicSnapshotter(
+        args.save_dir, name,
+        args.checkpoint_every_secs if is_coordinator() else 0.0)
     show_all_variables(state)
     hp = make_hparams(args, num_devices)
     profiler = Profiler(args.profile_dir)
@@ -534,8 +567,9 @@ def run_frame_training(args) -> int:
 
         g_loss_new = cv_m["g_loss"]
         if g_loss_new < g_loss_prev:
-            save_checkpoint(args.save_dir, name, jax.device_get(state),
-                            epoch + 1)
+            if is_coordinator():
+                save_checkpoint(args.save_dir, name, jax.device_get(state),
+                                epoch + 1)
             log(f"Epoch {epoch + 1}: Nnet Accepted. Save model SUCCESS.")
             g_rel_impr = (g_loss_prev - g_loss_new) / g_loss_prev
             g_loss_prev = g_loss_new
@@ -740,6 +774,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep_lr", type=int, default=3)
     p.add_argument("--decay_factor", type=float, default=0.5)
     # TPU-specific
+    p.add_argument("--coordinator_address", type=str, default="",
+                   help="host:port of process 0; enables multi-host data "
+                        "parallelism over DCN (jax.distributed)")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--checkpoint_every_secs", type=float, default=0.0,
                    help="also snapshot the live state every N seconds "
                         "mid-iteration (crash recovery; 0 = off)")
@@ -784,6 +823,11 @@ def enable_compilation_cache() -> None:
 
 def main(argv=None) -> int:
     args, unparsed = build_parser().parse_known_args(argv)
+    if args.coordinator_address:
+        pid, pcount = init_distributed(args.coordinator_address,
+                                       args.num_processes, args.process_id)
+        log(f"LOG: distributed process {pid}/{pcount}, "
+            f"{jax.device_count()} global devices")
     enable_compilation_cache()
     log("*** Parsed arguments ***")
     log(json.dumps(vars(args), indent=1, default=str))

@@ -8,6 +8,8 @@ from rsrgan_tpu.data.cmvn import (Cmvn, CmvnAccumulator, cmvn_from_stats,
 from rsrgan_tpu.data.splice import splice_frames, splice_frames_np
 from rsrgan_tpu.data.store import (StoreWriter, UtteranceStore,
                                    build_store_from_scp, read_list_file)
-from rsrgan_tpu.data.dataset import (FrameBatcher, SequenceBatch,
-                                     SequenceBatcher, ThreadedPrefetcher,
-                                     infer_batches)
+from rsrgan_tpu.data.dataset import (FrameBatcher,
+                                     HostShardedFrameBatches,
+                                     HostShardedSequenceBatches,
+                                     SequenceBatch, SequenceBatcher,
+                                     ThreadedPrefetcher, infer_batches)

@@ -93,10 +93,13 @@ class SequenceBatcher:
             return sum(c // self.batch_size for c in counts.values())
         return sum(-(-c // self.batch_size) for c in counts.values())
 
-    def _make_batch(self, indices: List[int]) -> SequenceBatch:
+    def _make_batch(self, indices: List[int],
+                    t_pad: Optional[int] = None) -> SequenceBatch:
         lengths = np.array([self._lengths[i] for i in indices], dtype=np.int32)
-        bucket = bucket_id(int(lengths.max()), self.num_buckets)
-        t_pad = padded_length(bucket, int(lengths.max()), self.num_buckets)
+        if t_pad is None:
+            bucket = bucket_id(int(lengths.max()), self.num_buckets)
+            t_pad = padded_length(bucket, int(lengths.max()),
+                                  self.num_buckets)
         splice = self.left_context + 1 + self.right_context
         in_dim = self.store.input_dim * splice
         inputs = np.zeros((len(indices), t_pad, in_dim), dtype=np.float32)
@@ -114,7 +117,11 @@ class SequenceBatcher:
                 labels[row, :lab.shape[0]] = lab
         return SequenceBatch(utt_ids, inputs, labels, lengths)
 
-    def __iter__(self) -> Iterator[SequenceBatch]:
+    def iter_index_batches(self) -> Iterator[List[int]]:
+        """The epoch's batch PLAN (utterance-index lists), separated from
+        feature materialization so multi-host runs can share one global
+        plan and each host materialize only its rows (see
+        HostShardedSequenceBatches)."""
         order = np.arange(len(self.store))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -123,10 +130,13 @@ class SequenceBatcher:
             b = bucket_id(int(self._lengths[i]), self.num_buckets)
             pending.setdefault(b, []).append(int(i))
             if len(pending[b]) == self.batch_size:
-                yield self._make_batch(pending.pop(b))
+                yield pending.pop(b)
         if not self.drop_remainder:
-            for indices in pending.values():
-                yield self._make_batch(indices)
+            yield from pending.values()
+
+    def __iter__(self) -> Iterator[SequenceBatch]:
+        for indices in self.iter_index_batches():
+            yield self._make_batch(indices)
 
     def epochs(self, n: int) -> Iterator[SequenceBatch]:
         for _ in range(n):
@@ -169,20 +179,91 @@ class FrameBatcher:
             return self.num_frames // self.batch_size
         return -(-self.num_frames // self.batch_size)
 
-    def __iter__(self):
+    def iter_index_batches(self):
+        """Epoch batch plan as frame-index arrays (see
+        SequenceBatcher.iter_index_batches)."""
         order = np.arange(self.num_frames)
         if self.shuffle:
             self._rng.shuffle(order)
         stop = (self.num_frames - self.num_frames % self.batch_size
                 if self.drop_remainder else self.num_frames)
         for start in range(0, stop, self.batch_size):
-            sel = order[start:start + self.batch_size]
-            yield (self.inputs[sel],
-                   self.labels[sel] if self.labels is not None else None)
+            yield order[start:start + self.batch_size]
+
+    def _make_batch(self, sel):
+        return (self.inputs[sel],
+                self.labels[sel] if self.labels is not None else None)
+
+    def __iter__(self):
+        for sel in self.iter_index_batches():
+            yield self._make_batch(sel)
 
     def epochs(self, n: int):
         for _ in range(n):
             yield from self
+
+
+class HostShardedSequenceBatches:
+    """Per-host view of a GLOBAL SequenceBatcher plan.
+
+    Every process constructs the same batcher (same store list + seed) and
+    wraps it with its (process_index, process_count); each host then
+    materializes only its contiguous row block of every global batch, with
+    the global batch's padded length. Shapes and batch counts are identical
+    across hosts by construction — the property multi-host pjit dispatch
+    requires — and the concatenation of all hosts' blocks is exactly the
+    single-host global batch (true global shuffling, no per-host data
+    silos).
+    """
+
+    def __init__(self, batcher: "SequenceBatcher", process_index: int,
+                 process_count: int):
+        if batcher.batch_size % process_count:
+            raise ValueError(
+                f"global batch {batcher.batch_size} not divisible by "
+                f"{process_count} processes")
+        self.batcher = batcher
+        self.rows = batcher.batch_size // process_count
+        self.process_index = process_index
+
+    def num_batches(self) -> int:
+        return self.batcher.num_batches()
+
+    def __iter__(self) -> Iterator[SequenceBatch]:
+        b = self.batcher
+        for indices in b.iter_index_batches():
+            if len(indices) != b.batch_size:
+                continue  # ragged global batch: every host must skip it
+            lens = [int(b._lengths[i]) for i in indices]
+            bucket = bucket_id(max(lens), b.num_buckets)
+            t_pad = padded_length(bucket, max(lens), b.num_buckets)
+            lo = self.process_index * self.rows
+            yield b._make_batch(indices[lo:lo + self.rows], t_pad=t_pad)
+
+
+class HostShardedFrameBatches:
+    """Per-host view of a global FrameBatcher plan (frame-level twin of
+    HostShardedSequenceBatches)."""
+
+    def __init__(self, batcher: "FrameBatcher", process_index: int,
+                 process_count: int):
+        if batcher.batch_size % process_count:
+            raise ValueError(
+                f"global batch {batcher.batch_size} not divisible by "
+                f"{process_count} processes")
+        self.batcher = batcher
+        self.rows = batcher.batch_size // process_count
+        self.process_index = process_index
+
+    def num_batches(self) -> int:
+        return self.batcher.num_batches()
+
+    def __iter__(self):
+        lo = self.process_index * self.rows
+        for sel in self.batcher.iter_index_batches():
+            if len(sel) != self.batcher.batch_size:
+                continue
+            yield self.batcher._make_batch(sel[lo:lo + self.rows])
 
 
 def infer_batches(store: UtteranceStore, left_context: int = 0,

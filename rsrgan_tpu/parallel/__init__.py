@@ -11,6 +11,7 @@ rule (scripts/train_gan_rnn_placeholder.py:458-461) maps to
 ``lr * mesh.shape['data']``.
 """
 
+from rsrgan_tpu.parallel.distributed import initialize, is_coordinator
 from rsrgan_tpu.parallel.mesh import (data_sharding, lstm_param_sharding,
                                       make_mesh, replicate, shard_batch,
                                       shard_state)

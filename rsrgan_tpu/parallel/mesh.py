@@ -38,14 +38,23 @@ def data_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree: Any, axis: int = 0) -> Any:
-    """device_put every array with dimension ``axis`` over 'data'.
+    """Place per-host batch arrays as globally data-sharded arrays.
 
     axis=1 handles stacked multi-step batches [N, B, ...] where N is the
-    scan axis and B the data-parallel batch.
+    scan axis and B the data-parallel batch. In multi-process runs each
+    host passes only ITS rows (see HostSharded*Batches); the global array
+    is assembled from every process's local block.
     """
-    return jax.tree.map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x), axis)),
-        tree)
+    multihost = jax.process_count() > 1
+
+    def put(x):
+        sharding = data_sharding(mesh, np.ndim(x), axis)
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree.map(put, tree)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -31,10 +31,15 @@ def save_checkpoint(save_dir: str, name: str, state: Any, step: int,
                     max_to_keep: int = 10) -> str:
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, f"{name}-{step}.ckpt")
-    with open(path, "wb") as f:
+    # atomic write: a crash (or a concurrent multi-host reader on a shared
+    # filesystem) never observes a torn checkpoint
+    with open(path + ".tmp", "wb") as f:
         f.write(flax.serialization.to_bytes(state))
-    with open(_checkpoint_file(save_dir), "w") as f:
+    os.replace(path + ".tmp", path)
+    with open(_checkpoint_file(save_dir) + ".tmp", "w") as f:
         f.write(os.path.basename(path) + "\n")
+    os.replace(_checkpoint_file(save_dir) + ".tmp",
+               _checkpoint_file(save_dir))
     for old in _list_checkpoints(save_dir, name)[:-max_to_keep]:
         os.remove(os.path.join(save_dir, old))
     return path

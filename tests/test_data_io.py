@@ -312,3 +312,75 @@ class TestPrefetcherErrors:
         assert next(it) == 1
         with pytest.raises(RuntimeError, match="prefetch producer failed"):
             list(it)
+
+
+class TestHostShardedBatches:
+    def test_sequence_blocks_recombine_to_global_batch(self, tmp_path, rng):
+        from rsrgan_tpu.data import (HostShardedSequenceBatches,
+                                     SequenceBatcher, StoreWriter,
+                                     UtteranceStore)
+        store_path = str(tmp_path / "s.rtu")
+        w = StoreWriter(store_path)
+        for i in range(17):
+            t = int(rng.integers(20, 90))
+            w.add(f"u{i}", rng.normal(size=(t, 5)).astype(np.float32),
+                  rng.normal(size=(t, 3)).astype(np.float32))
+        w.close()
+        store = UtteranceStore(store_path)
+
+        def batcher():
+            return SequenceBatcher(store, 4, shuffle=True, seed=3,
+                                   drop_remainder=False)
+
+        globals_ = [b for b in batcher() if len(b.utt_ids) == 4]
+        shards = [list(HostShardedSequenceBatches(batcher(), p, 2))
+                  for p in range(2)]
+        assert len(shards[0]) == len(shards[1]) == len(globals_)
+        for g, b0, b1 in zip(globals_, shards[0], shards[1]):
+            # identical shapes across hosts (multi-host dispatch invariant)
+            assert b0.inputs.shape == b1.inputs.shape
+            assert b0.inputs.shape[1] == g.inputs.shape[1]
+            # concatenated host blocks == the single-host global batch
+            assert b0.utt_ids + b1.utt_ids == g.utt_ids
+            np.testing.assert_array_equal(
+                np.concatenate([b0.inputs, b1.inputs]), g.inputs)
+            np.testing.assert_array_equal(
+                np.concatenate([b0.labels, b1.labels]), g.labels)
+            np.testing.assert_array_equal(
+                np.concatenate([b0.lengths, b1.lengths]), g.lengths)
+
+    def test_frame_blocks_recombine(self, tmp_path, rng):
+        from rsrgan_tpu.data import (FrameBatcher, HostShardedFrameBatches,
+                                     StoreWriter, UtteranceStore)
+        store_path = str(tmp_path / "f.rtu")
+        w = StoreWriter(store_path)
+        for i in range(5):
+            t = int(rng.integers(10, 30))
+            w.add(f"u{i}", rng.normal(size=(t, 4)).astype(np.float32),
+                  rng.normal(size=(t, 2)).astype(np.float32))
+        w.close()
+        store = UtteranceStore(store_path)
+
+        def batcher():
+            return FrameBatcher(store, 8, seed=5)
+
+        globals_ = list(batcher())
+        shards = [list(HostShardedFrameBatches(batcher(), p, 2))
+                  for p in range(2)]
+        assert len(shards[0]) == len(globals_)
+        for (gx, gy), (x0, y0), (x1, y1) in zip(globals_, *shards):
+            np.testing.assert_array_equal(np.concatenate([x0, x1]), gx)
+            np.testing.assert_array_equal(np.concatenate([y0, y1]), gy)
+
+    def test_indivisible_batch_rejected(self, tmp_path, rng):
+        from rsrgan_tpu.data import (HostShardedSequenceBatches,
+                                     SequenceBatcher, StoreWriter,
+                                     UtteranceStore)
+        store_path = str(tmp_path / "o.rtu")
+        w = StoreWriter(store_path)
+        w.add("u0", np.zeros((30, 2), np.float32),
+              np.zeros((30, 2), np.float32))
+        w.close()
+        b = SequenceBatcher(UtteranceStore(store_path), 3)
+        with np.testing.assert_raises(ValueError):
+            HostShardedSequenceBatches(b, 0, 2)
