@@ -141,6 +141,20 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
     P = proj.shape[2]
     S = T + L - 1
 
+    # The Mosaic default scoped-VMEM budget is 16 MB — smaller than the
+    # chip's physical VMEM. Large batches (B >= 128 at flagship size) need
+    # more; size the limit from the actual block footprint (padded tiles,
+    # double-buffered streams) with headroom for compiler temporaries.
+    wbytes = jnp.dtype(wh.dtype).itemsize
+    ps, pl_ = _round_up(P, 8), _round_up(P, 128)
+    weights = ((L - 1) * ps * G + L * ps * G) * wbytes \
+        + L * Up * pl_ * wbytes + L * (G + 3 * Up) * 4
+    stream = 2 * (B * G * 4 + B * pl_ * 4)                      # xw1, x
+    outs = 2 * L * (2 * B * pl_ * 4 + B * Up * 4)               # taps,h,c
+    scratch = L * (B * Up + 2 * B * pl_) * 4
+    vmem_limit = max(16, int((weights + stream + outs + scratch)
+                             * 1.25) // 2**20 + 1) * 2**20
+
     grid_spec = pl.GridSpec(
         grid=(S,),
         in_specs=[
@@ -190,6 +204,8 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
             jax.ShapeDtypeStruct((L, S, B, Up), jnp.float32),
             jax.ShapeDtypeStruct((L, S, B, P), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit),
     )(xw1, mask_lt, x, wx, wh, proj, bias, wi, wf, wo)
 
 

@@ -140,11 +140,23 @@ class GanTrainer:
 
     def _d_loss_fn(self, d_params, g_out, inputs, labels, lengths, hp,
                    rngs, train=True):
-        rl_rng, fk_rng = rngs
-        d_rl = self._d_apply(d_params, inputs, labels, lengths,
-                             hp["disc_noise_std"], train, rl_rng)
-        d_fk = self._d_apply(d_params, inputs, g_out, lengths,
-                             hp["disc_noise_std"], train, fk_rng)
+        # D(real) and D(fake) share weights and have no cross-sample
+        # coupling (no batch norm in either GanTrainer discriminator), so
+        # they run as ONE forward on the batch-stacked input: the LSTM
+        # recurrence is latency-bound, so 2B rows cost the same wall-clock
+        # as B. Per-half loss means are computed after splitting, so the
+        # math matches the two-forward formulation exactly (up to the
+        # gaussian-noise stream, which is iid either way).
+        rl_rng, _ = rngs
+        b = labels.shape[0]
+        both = jnp.concatenate([labels, g_out], axis=0)
+        inputs2 = (jnp.concatenate([inputs, inputs], axis=0)
+                   if self.d_conditioned else inputs)
+        lengths2 = (jnp.concatenate([lengths, lengths], axis=0)
+                    if lengths is not None else None)
+        d_both = self._d_apply(d_params, inputs2, both, lengths2,
+                               hp["disc_noise_std"], train, rl_rng)
+        d_rl, d_fk = d_both[:b], d_both[b:]
         d_rl_loss, d_fk_loss, d_loss = lsgan_d_losses(
             d_rl, d_fk, hp["d_real"], hp["d_fake"])
         return d_loss, {"d_rl_loss": d_rl_loss, "d_fk_loss": d_fk_loss,
