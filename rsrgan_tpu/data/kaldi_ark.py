@@ -200,7 +200,10 @@ def _encode_compressed(mat: np.ndarray) -> bytes:
     element quantized piecewise-linearly over [p0,p25], [p25,p75], [p75,p100]
     with 64/128/63 steps. Fully vectorized.
     """
-    mat64 = np.asarray(mat, dtype=np.float64)
+    # quantize from float32 values (CompressedMatrix is a float32 format);
+    # keeps the numpy and native paths bit-identical for any input dtype
+    mat = np.asarray(mat, dtype=np.float32)
+    mat64 = mat.astype(np.float64)
     if mat64.ndim != 2 or mat64.shape[1] == 0 or mat64.shape[0] == 0:
         raise ValueError(f"cannot compress matrix of shape {mat64.shape}")
     if not np.all(np.isfinite(mat64)):
@@ -212,6 +215,12 @@ def _encode_compressed(mat: np.ndarray) -> bytes:
     value_range = float(np.float32(mat64.max() - min_value))
     if value_range <= 0.0:
         value_range = 1.0  # Kaldi's guard for constant matrices
+
+    header = b"\0BCM " + _GLOBAL_HEADER.pack(min_value, value_range,
+                                             rows, cols)
+    if _native is not None and hasattr(_native, "encode_compressed"):
+        return header + _native.encode_compressed(
+            np.asarray(mat, np.float32), min_value, value_range)
 
     def to_u16(x: np.ndarray) -> np.ndarray:
         f = np.clip((x - min_value) / value_range, 0.0, 1.0)
@@ -238,9 +247,7 @@ def _encode_compressed(mat: np.ndarray) -> bytes:
                  192, 255)
     quant = np.where(col < f25, lo, np.where(col < f75, mid, hi))
 
-    return (b"\0BCM " +
-            _GLOBAL_HEADER.pack(min_value, value_range, rows, cols) +
-            headers.tobytes() + quant.astype(np.uint8).tobytes())
+    return header + headers.tobytes() + quant.astype(np.uint8).tobytes()
 
 
 class ArkWriter:

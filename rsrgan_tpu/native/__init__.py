@@ -24,6 +24,14 @@ class _ArkNative:
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
         ]
         lib.decode_compressed_ark.restype = None
+        lib.encode_compressed_ark.argtypes = [
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+            ctypes.c_float, ctypes.c_float,
+            ctypes.c_int32, ctypes.c_int32,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
+        ]
+        lib.encode_compressed_ark.restype = None
         lib.apply_cmvn.argtypes = [
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
             np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS"),
@@ -40,6 +48,18 @@ class _ArkNative:
         self._lib.decode_compressed_ark(payload, min_value, value_range,
                                         rows, cols, out)
         return out
+
+    def encode_compressed(self, mat: np.ndarray, min_value: float,
+                          value_range: float) -> bytes:
+        """Headers + column-major uint8 payload (everything after the
+        16-byte GlobalHeader)."""
+        mat = np.ascontiguousarray(mat, np.float32)
+        rows, cols = mat.shape
+        out = np.empty(cols * 8 + rows * cols, dtype=np.uint8)
+        scratch = np.empty(rows * (cols + 1), dtype=np.float32)
+        self._lib.encode_compressed_ark(mat, min_value, value_range,
+                                        rows, cols, out, scratch)
+        return out.tobytes()
 
     def apply_cmvn(self, feats: np.ndarray, mean: np.ndarray,
                    stddev: np.ndarray) -> np.ndarray:

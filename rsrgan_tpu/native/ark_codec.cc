@@ -7,6 +7,8 @@
 //
 // Build: bash rsrgan_tpu/native/build.sh  (g++ -O3 -shared -fPIC)
 
+#include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 
@@ -43,6 +45,112 @@ void decode_compressed_ark(const uint8_t* payload, float min_value,
     const uint8_t* col = data + static_cast<size_t>(c) * num_rows;
     for (int32_t r = 0; r < num_rows; ++r) {
       out[static_cast<size_t>(r) * num_cols + c] = table[col[r]];
+    }
+  }
+}
+
+// Encode a row-major float32 [num_rows, num_cols] matrix as Kaldi
+// CompressedMatrix format 1 ("BCM ") — the inverse of
+// decode_compressed_ark, bit-identical to the numpy encoder in
+// rsrgan_tpu/data/kaldi_ark.py (_encode_compressed): anchor arithmetic in
+// double, same floor(+0.499)/floor(+0.5) roundings and clamp chain.
+//
+// min_value/value_range: the float32 global header values (caller
+// computes and writes the 16-byte GlobalHeader itself).
+// out: num_cols*8 bytes of uint16 headers, then the uint8 payload
+//      column-major — exactly the bytes that follow the GlobalHeader.
+// scratch: num_rows * (num_cols + 1) floats (column-major copy + sort
+//          buffer) — the caller allocates.
+void encode_compressed_ark(const float* mat, float min_value,
+                           float value_range, int32_t num_rows,
+                           int32_t num_cols, uint8_t* out, float* scratch) {
+  uint16_t* headers = reinterpret_cast<uint16_t*>(out);
+  uint8_t* data = out + static_cast<size_t>(num_cols) * 8;
+
+  const int32_t i25 = num_rows / 4 < num_rows - 1 ? num_rows / 4
+                                                  : num_rows - 1;
+  const int32_t q75 = 3 * (num_rows / 4);
+  const int32_t i75 = q75 < num_rows - 1 ? q75 : num_rows - 1;
+
+  // one cache-blocked transpose up front: every later pass is contiguous
+  float* colmaj = scratch + num_rows;
+  constexpr int32_t BLK = 64;
+  for (int32_t r0 = 0; r0 < num_rows; r0 += BLK) {
+    const int32_t r1 = r0 + BLK < num_rows ? r0 + BLK : num_rows;
+    for (int32_t c0 = 0; c0 < num_cols; c0 += BLK) {
+      const int32_t c1 = c0 + BLK < num_cols ? c0 + BLK : num_cols;
+      for (int32_t r = r0; r < r1; ++r) {
+        for (int32_t c = c0; c < c1; ++c) {
+          colmaj[static_cast<size_t>(c) * num_rows + r] =
+              mat[static_cast<size_t>(r) * num_cols + c];
+        }
+      }
+    }
+  }
+
+  for (int32_t c = 0; c < num_cols; ++c) {
+    const float* colv = colmaj + static_cast<size_t>(c) * num_rows;
+    std::memcpy(scratch, colv, sizeof(float) * num_rows);
+    // selection instead of a full sort: nth_element yields the exact same
+    // order statistics as np.sort at i25/i75/min/max, at O(n)
+    std::nth_element(scratch, scratch + i25, scratch + num_rows);
+    // read v25/vmin BEFORE the second selection: it re-partitions
+    // [i25, end) and scratch[i25] would no longer be the i25-th statistic
+    const float v25 = scratch[i25];
+    const float vmin = *std::min_element(scratch, scratch + i25 + 1);
+    std::nth_element(scratch + i25, scratch + i75, scratch + num_rows);
+    const float v75 = scratch[i75];
+    const float vmax = *std::max_element(scratch + i75,
+                                         scratch + num_rows);
+
+    auto to_u16 = [&](double x) -> int64_t {
+      double f = (x - min_value) / value_range;
+      if (f < 0.0) f = 0.0;
+      if (f > 1.0) f = 1.0;
+      return static_cast<int64_t>(std::floor(f * 65535.0 + 0.499));
+    };
+    int64_t p0 = to_u16(vmin);
+    if (p0 > 65532) p0 = 65532;
+    int64_t p25 = to_u16(v25);
+    if (p25 < p0 + 1) p25 = p0 + 1;
+    if (p25 > 65533) p25 = 65533;
+    int64_t p75 = to_u16(v75);
+    if (p75 < p25 + 1) p75 = p25 + 1;
+    if (p75 > 65534) p75 = 65534;
+    int64_t p100 = to_u16(vmax);
+    if (p100 < p75 + 1) p100 = p75 + 1;
+    headers[c * 4 + 0] = static_cast<uint16_t>(p0);
+    headers[c * 4 + 1] = static_cast<uint16_t>(p25);
+    headers[c * 4 + 2] = static_cast<uint16_t>(p75);
+    headers[c * 4 + 3] = static_cast<uint16_t>(p100);
+
+    const double u16s = value_range * (1.0 / 65535.0);
+    const double f0 = min_value + u16s * static_cast<double>(p0);
+    const double f25 = min_value + u16s * static_cast<double>(p25);
+    const double f75 = min_value + u16s * static_cast<double>(p75);
+    const double f100 = min_value + u16s * static_cast<double>(p100);
+    const double w_lo = f25 - f0;
+    const double w_mid = f75 - f25;
+    const double w_hi = f100 - f75;
+
+    uint8_t* col = data + static_cast<size_t>(c) * num_rows;
+    for (int32_t r = 0; r < num_rows; ++r) {
+      const double x = colv[r];
+      double q;
+      if (x < f25) {
+        q = std::floor((x - f0) / w_lo * 64.0 + 0.5);
+        if (q < 0.0) q = 0.0;
+        if (q > 64.0) q = 64.0;
+      } else if (x < f75) {
+        q = 64.0 + std::floor((x - f25) / w_mid * 128.0 + 0.5);
+        if (q < 64.0) q = 64.0;
+        if (q > 192.0) q = 192.0;
+      } else {
+        q = 192.0 + std::floor((x - f75) / w_hi * 63.0 + 0.5);
+        if (q < 192.0) q = 192.0;
+        if (q > 255.0) q = 255.0;
+      }
+      col[r] = static_cast<uint8_t>(q);
     }
   }
 }

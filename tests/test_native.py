@@ -33,3 +33,27 @@ def test_apply_cmvn_matches_numpy(rng):
     got = ark_native.apply_cmvn(feats, mean, std)
     np.testing.assert_allclose(got, (feats - mean) / std, rtol=2e-4,
                                atol=1e-4)
+
+
+def test_encode_compressed_matches_numpy(rng):
+    """Native encoder must be BIT-identical to the numpy encoder."""
+    import rsrgan_tpu.data.kaldi_ark as ka
+
+    mats = [
+        rng.normal(scale=3.0, size=(120, 13)).astype(np.float32),
+        rng.normal(size=(1, 4)).astype(np.float32),
+        np.full((9, 5), 2.5, np.float32),
+        np.concatenate([rng.normal(size=(200, 6)),
+                        rng.normal(scale=50.0, size=(3, 6))]
+                       ).astype(np.float32),
+    ]
+    saved = ka._native
+    try:
+        for m in mats:
+            ka._native = ark_native
+            native_bytes = ka._encode_compressed(m)
+            ka._native = None
+            numpy_bytes = ka._encode_compressed(m)
+            assert native_bytes == numpy_bytes
+    finally:
+        ka._native = saved
