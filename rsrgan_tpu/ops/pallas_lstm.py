@@ -35,6 +35,28 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _vmem_limit(*block_bytes: int) -> "pltpu.CompilerParams":
+    """CompilerParams raising Mosaic's default 16 MB scoped-VMEM budget
+    when the kernel's block footprint needs it (physical VMEM is larger).
+    Pass per-block byte counts; streams are already double-counted by the
+    caller. Adds 50% headroom — Mosaic's actual buffering exceeds the
+    nominal double-buffered estimate (measured 17.75M actual vs 12.8M
+    estimated on the B=512 discriminator backward)."""
+    total = int(sum(block_bytes) * 1.5)
+    limit = max(16, total // 2**20 + 1) * 2**20
+    return pltpu.CompilerParams(vmem_limit_bytes=limit)
+
+
+def _lstm_block_bytes(B: int, Up: int, P: int, G: int, wbytes: int):
+    """(weights, per-step stream in, per-step stream out-core) bytes for
+    the single-layer kernels; P padded for lane/sublane placement."""
+    ps, plane = _round_up(P, 8), _round_up(P, 128)
+    weights = ps * G * wbytes + Up * plane * wbytes + (G + 3 * Up) * 4
+    stream_in = B * G * 4 + B * plane * 4 + 2 * B * Up * 4 + B * plane * 4
+    scratch = B * Up * 4 + B * plane * 4
+    return weights, stream_in, scratch
+
+
 # ---------------------------------------------------------------------------
 # forward kernel
 # ---------------------------------------------------------------------------
@@ -121,6 +143,10 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
             pltpu.VMEM((B, P), jnp.float32),
         ],
     )
+    wb = jnp.dtype(w_h.dtype).itemsize
+    weights, stream_in, scratch = _lstm_block_bytes(B, Up, P, G, wb)
+    plane = _round_up(P, 128)
+    out_core = 2 * B * plane * 4 + B * Up * 4
     return pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
@@ -129,6 +155,8 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
             jax.ShapeDtypeStruct((T, B, Up), jnp.float32),
             jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         ],
+        compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
+                                    scratch),
     )(xw, mask, w_h, proj, bias, w_i, w_f, w_o)
 
 
@@ -242,6 +270,10 @@ def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
             pltpu.VMEM((B, P), jnp.float32),
         ],
     )
+    wb = jnp.dtype(w_h.dtype).itemsize
+    weights, stream_in, scratch = _lstm_block_bytes(B, Up, P, G, wb)
+    plane = _round_up(P, 128)
+    out_core = B * G * 4 + B * Up * 4 + B * plane * 4
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
@@ -250,6 +282,164 @@ def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
             jax.ShapeDtypeStruct((T, B, Up), jnp.float32),
             jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         ],
+        compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
+                                    scratch),
+    )(xw, mask, dout, c_hist, c_hist, h_hist, w_h, proj, bias,
+      w_i, w_f, w_o)
+
+
+# Batch threshold for the accumulator backward: at small B the in-kernel
+# weight-grad matmuls sit on the latency-bound critical path (streamed
+# variant measured faster: 309k vs 304k frames/s at B=16), while at larger
+# B the streamed variant's extra HBM round-trips dominate (measured 21%
+# step regression at B=64: dxw/m/dh re-reads are ~1.7 GB per layer-bwd).
+_ACC_BWD_MIN_BATCH = 32
+
+
+def _bwd_kernel_acc(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
+                    w_h_ref, proj_ref, bias_ref, w_i_ref, w_f_ref, w_o_ref,
+                    dxw_ref, dwh_ref, dproj_ref, dbias_ref,
+                    dwi_ref, dwf_ref, dwo_ref,
+                    dc_scr, dh_scr):
+    """Reverse-time step with IN-KERNEL weight-gradient accumulation into
+    revisited output blocks — the large-batch variant (see
+    _ACC_BWD_MIN_BATCH)."""
+    t = pl.program_id(0)          # 0..T-1, walking the sequence in REVERSE
+    T = pl.num_programs(0)
+    Up = dc_scr.shape[1]
+
+    @pl.when(t == 0)
+    def _():
+        dc_scr[:] = jnp.zeros_like(dc_scr)
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dproj_ref[:] = jnp.zeros_like(dproj_ref)
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+        dwi_ref[:] = jnp.zeros_like(dwi_ref)
+        dwf_ref[:] = jnp.zeros_like(dwf_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+
+    first_step = t == T - 1      # sequence position 0
+    c_prev = jnp.where(first_step, 0.0, cprev_ref[0])
+    h_prev = jnp.where(first_step, 0.0, hprev_ref[0])
+    c_new = c_ref[0]             # post-mask == true c at valid steps
+    keep = mask_ref[0, 0][:, None] > 0
+
+    # recompute gate pre-activations
+    wdt = w_h_ref.dtype
+    gates = (xw_ref[0]
+             + jnp.dot(h_prev.astype(wdt), w_h_ref[:],
+                       preferred_element_type=jnp.float32)
+             + bias_ref[0])
+    i = gates[:, 0 * Up:1 * Up]
+    j = gates[:, 1 * Up:2 * Up]
+    f = gates[:, 2 * Up:3 * Up]
+    o = gates[:, 3 * Up:4 * Up]
+    w_i = w_i_ref[0]
+    w_f = w_f_ref[0]
+    w_o = w_o_ref[0]
+
+    si = jax.nn.sigmoid(i + w_i * c_prev)
+    sf = jax.nn.sigmoid(f + w_f * c_prev)
+    so = jax.nn.sigmoid(o + w_o * c_new)
+    tj = jnp.tanh(j)
+    tc = jnp.tanh(c_new)
+    m = so * tc
+
+    dh_total = dout_ref[0] + dh_scr[:]
+    dm = jnp.dot(dh_total.astype(wdt), proj_ref[:].T,
+                 preferred_element_type=jnp.float32)
+    dm = jnp.where(keep, dm, 0.0)
+    do_pre = dm * tc * so * (1.0 - so)
+    dc_total = (dc_scr[:] * jnp.where(keep, 1.0, 0.0)
+                + dm * so * (1.0 - tc * tc) + do_pre * w_o)
+
+    df_pre = dc_total * c_prev * sf * (1.0 - sf)
+    di_pre = dc_total * tj * si * (1.0 - si)
+    dj_pre = dc_total * si * (1.0 - tj * tj)
+    dc_prev = (dc_total * sf + df_pre * w_f + di_pre * w_i)
+
+    dgates = jnp.concatenate([di_pre, dj_pre, df_pre, do_pre], axis=1)
+    dgates = jnp.where(keep, dgates, 0.0)
+
+    m_masked = jnp.where(keep, m, 0.0)
+    dh_masked = jnp.where(keep, dh_total, 0.0)
+
+    dxw_ref[0] = dgates
+    dwh_ref[:] += jnp.dot(h_prev.T.astype(wdt), dgates.astype(wdt),
+                          preferred_element_type=jnp.float32)
+    dproj_ref[:] += jnp.dot(m_masked.T.astype(wdt), dh_masked.astype(wdt),
+                            preferred_element_type=jnp.float32)
+    dbias_ref[0] += jnp.sum(dgates, axis=0)
+    dwi_ref[0] += jnp.sum(di_pre * c_prev * jnp.where(keep, 1.0, 0.0),
+                          axis=0)
+    dwf_ref[0] += jnp.sum(df_pre * c_prev * jnp.where(keep, 1.0, 0.0),
+                          axis=0)
+    dwo_ref[0] += jnp.sum(do_pre * c_new * jnp.where(keep, 1.0, 0.0),
+                          axis=0)
+
+    dh_prev_new = jnp.dot(dgates.astype(wdt), w_h_ref[:].T,
+                          preferred_element_type=jnp.float32)
+    # masked step: carries pass through unchanged
+    dc_scr[:] = jnp.where(keep, dc_prev, dc_scr[:])
+    dh_scr[:] = jnp.where(keep, dh_prev_new, dh_scr[:])
+
+
+def _bwd_pallas_acc(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
+                    bias, w_i, w_f, w_o):
+    G = 4 * Up
+    rev3 = lambda t: (T - 1 - t, 0, 0)
+    prev3 = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
+    const2 = lambda t: (0, 0)
+    grid_spec = pl.GridSpec(
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # xw
+            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
+            pl.BlockSpec((1, B, P), rev3, memory_space=pltpu.VMEM),   # dout
+            pl.BlockSpec((1, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((1, B, Up), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, P), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # dxw
+            pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),    # dW_h
+            pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, G), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B, Up), jnp.float32),
+            pltpu.VMEM((B, P), jnp.float32),
+        ],
+    )
+    wb = jnp.dtype(w_h.dtype).itemsize
+    weights, stream_in, scratch = _lstm_block_bytes(B, Up, P, G, wb)
+    ps, plane = _round_up(P, 8), _round_up(P, 128)
+    out_core = B * G * 4                      # dxw stream
+    grad_blocks = ps * G * 4 + Up * plane * 4 + (G + 3 * Up) * 4
+    return pl.pallas_call(
+        _bwd_kernel_acc,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+            jax.ShapeDtypeStruct((P, G), jnp.float32),
+            jax.ShapeDtypeStruct((Up, P), jnp.float32),
+            jax.ShapeDtypeStruct((1, G), jnp.float32),
+            jax.ShapeDtypeStruct((1, Up), jnp.float32),
+            jax.ShapeDtypeStruct((1, Up), jnp.float32),
+            jax.ShapeDtypeStruct((1, Up), jnp.float32),
+        ],
+        compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
+                                    grad_blocks, scratch),
     )(xw, mask, dout, c_hist, c_hist, h_hist, w_h, proj, bias,
       w_i, w_f, w_o)
 
@@ -277,9 +467,17 @@ def lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist):
 
 def lstm_layer_bwd(T, B, Up, P, xw, mask3, dout, c_hist, h_hist, w_h,
                    proj, bias, w_i, w_f, w_o):
-    """Single-layer backward: reverse kernel + weight-grad reductions as
-    full-sequence MXU matmuls. Returns
-    (dxw, dwh, dproj, dbias, dwi, dwf, dwo) in padded gate dims."""
+    """Single-layer backward. Returns
+    (dxw, dwh, dproj, dbias, dwi, dwf, dwo) in padded gate dims.
+
+    Two variants, selected by batch size (_ACC_BWD_MIN_BATCH): small B
+    streams dgates/m/dh out and reduces weight grads outside as
+    full-sequence MXU matmuls; large B accumulates weight grads in-kernel
+    to avoid the streams' HBM round-trips.
+    """
+    if B >= _ACC_BWD_MIN_BATCH:
+        return _bwd_pallas_acc(T, B, Up, P, xw, mask3, dout, c_hist,
+                               h_hist, w_h, proj, bias, w_i, w_f, w_o)
     dxw, m_m, dh_m = _bwd_pallas(T, B, Up, P, xw, mask3, dout, c_hist,
                                  h_hist, w_h, proj, bias, w_i, w_f, w_o)
     return (dxw,) + lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist)

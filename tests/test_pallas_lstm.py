@@ -56,3 +56,30 @@ def test_masked_tail_invariance(cells, rng):
         o2 = pal_cell.apply(params, jnp.asarray(x2), lens)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
     assert np.all(np.asarray(o1)[1, 8:] == 0)
+
+
+def test_accumulator_backward_matches_scan(rng):
+    """B >= _ACC_BWD_MIN_BATCH selects the in-kernel weight-grad variant;
+    gradients must still match the scan cell."""
+    from rsrgan_tpu.ops.pallas_lstm import _ACC_BWD_MIN_BATCH
+
+    b = _ACC_BWD_MIN_BATCH
+    scan_cell = LstmCellP(num_units=U, num_proj=P, lstm_impl="scan")
+    pal_cell = LstmCellP(num_units=U, num_proj=P, lstm_impl="pallas")
+    x = jnp.asarray(rng.normal(size=(b, 11, D)), jnp.float32)
+    lens = jnp.asarray(rng.integers(3, 12, size=(b,)), jnp.int32)
+    params = scan_cell.init(jax.random.PRNGKey(0), x, lens)
+
+    def loss(cell):
+        return lambda p, x: jnp.sum(jnp.sin(cell.apply(p, x, lens)))
+
+    with pltpu.force_tpu_interpret_mode():
+        o_pal = pal_cell.apply(params, x, lens)
+        g_pal = jax.grad(loss(pal_cell), argnums=(0, 1))(params, x)
+    o_scan = scan_cell.apply(params, x, lens)
+    g_scan = jax.grad(loss(scan_cell), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_scan),
+                               atol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_scan)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-4)
