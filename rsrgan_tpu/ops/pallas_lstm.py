@@ -63,7 +63,7 @@ def _lstm_block_bytes(B: int, Up: int, P: int, G: int, wbytes: int):
 
 def _fwd_kernel(xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
                 w_i_ref, w_f_ref, w_o_ref,
-                out_ref, c_hist_ref, h_hist_ref,
+                out_ref, c_hist_ref, h_hist_ref, acts_ref,
                 c_scr, h_scr):
     t = pl.program_id(0)
     Up = c_scr.shape[1]
@@ -90,9 +90,12 @@ def _fwd_kernel(xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
     w_f = w_f_ref[0]
     w_o = w_o_ref[0]
     # forget_bias is pre-folded into bias_ref's f quarter by the wrapper
-    c_new = (jax.nn.sigmoid(f + w_f * c_prev) * c_prev
-             + jax.nn.sigmoid(i + w_i * c_prev) * jnp.tanh(j))
-    m = jax.nn.sigmoid(o + w_o * c_new) * jnp.tanh(c_new)
+    si = jax.nn.sigmoid(i + w_i * c_prev)
+    sf = jax.nn.sigmoid(f + w_f * c_prev)
+    tj = jnp.tanh(j)
+    c_new = sf * c_prev + si * tj
+    so = jax.nn.sigmoid(o + w_o * c_new)
+    m = so * jnp.tanh(c_new)
     h_new = jnp.dot(m.astype(wdt), proj_ref[:],
                     preferred_element_type=jnp.float32)
 
@@ -104,6 +107,11 @@ def _fwd_kernel(xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
     out_ref[0] = jnp.where(keep > 0, h_new, 0.0)
     c_hist_ref[0] = c_keep
     h_hist_ref[0] = h_keep
+    # saved gate activations, packed in gate-slot order [si, tj, sf, so]:
+    # the backward reads these instead of recomputing gates — removing the
+    # reverse pass's largest matmul AND the outside xw-recompute einsums
+    acts_ref[0] = jnp.concatenate([si, tj, sf, so],
+                                  axis=1).astype(acts_ref.dtype)
 
 
 def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
@@ -137,6 +145,8 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, P), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((B, Up), jnp.float32),
@@ -146,7 +156,7 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
     wb = jnp.dtype(w_h.dtype).itemsize
     weights, stream_in, scratch = _lstm_block_bytes(B, Up, P, G, wb)
     plane = _round_up(P, 128)
-    out_core = 2 * B * plane * 4 + B * Up * 4
+    out_core = 2 * B * plane * 4 + B * Up * 4 + B * G * wb
     return pl.pallas_call(
         _fwd_kernel,
         grid_spec=grid_spec,
@@ -154,6 +164,7 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
             jax.ShapeDtypeStruct((T, B, P), jnp.float32),
             jax.ShapeDtypeStruct((T, B, Up), jnp.float32),
             jax.ShapeDtypeStruct((T, B, P), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, G), w_h.dtype),
         ],
         compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
                                     scratch),
@@ -164,14 +175,16 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
-                w_h_ref, proj_ref, bias_ref, w_i_ref, w_f_ref, w_o_ref,
+def _bwd_kernel(acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
+                w_h_ref, proj_ref, w_i_ref, w_f_ref, w_o_ref,
                 dxw_ref, m_ref, dh_ref,
                 dc_scr, dh_scr):
-    """Reverse-time step. Emits per-step dgates (dxw), masked m and masked
-    dh_total; ALL weight-gradient reductions happen outside the kernel as
-    single large MXU matmuls (lstm_layer_bwd) — accumulating them per step
-    here costs two extra tiny matmuls on the critical path."""
+    """Reverse-time step. Gate activations [si, tj, sf, so] stream in
+    from the forward (saved, not recomputed — no gates matmul, no xw
+    stream). Emits per-step dgates (dxw), masked m and masked dh_total;
+    ALL weight-gradient reductions happen outside the kernel as single
+    large MXU matmuls (lstm_layer_bwd) — accumulating them per step here
+    costs two extra tiny matmuls on the critical path."""
     t = pl.program_id(0)          # 0..T-1, walking the sequence in REVERSE
     T = pl.num_programs(0)
     Up = dc_scr.shape[1]
@@ -183,28 +196,18 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
 
     first_step = t == T - 1      # sequence position 0
     c_prev = jnp.where(first_step, 0.0, cprev_ref[0])
-    h_prev = jnp.where(first_step, 0.0, hprev_ref[0])
     c_new = c_ref[0]             # post-mask == true c at valid steps
     keep = mask_ref[0, 0][:, None] > 0
 
-    # recompute gate pre-activations
     wdt = w_h_ref.dtype
-    gates = (xw_ref[0]
-             + jnp.dot(h_prev.astype(wdt), w_h_ref[:],
-                       preferred_element_type=jnp.float32)
-             + bias_ref[0])
-    i = gates[:, 0 * Up:1 * Up]
-    j = gates[:, 1 * Up:2 * Up]
-    f = gates[:, 2 * Up:3 * Up]
-    o = gates[:, 3 * Up:4 * Up]
+    acts = acts_ref[0].astype(jnp.float32)
+    si = acts[:, 0 * Up:1 * Up]
+    tj = acts[:, 1 * Up:2 * Up]
+    sf = acts[:, 2 * Up:3 * Up]
+    so = acts[:, 3 * Up:4 * Up]
     w_i = w_i_ref[0]
     w_f = w_f_ref[0]
     w_o = w_o_ref[0]
-
-    si = jax.nn.sigmoid(i + w_i * c_prev)
-    sf = jax.nn.sigmoid(f + w_f * c_prev)
-    so = jax.nn.sigmoid(o + w_o * c_new)
-    tj = jnp.tanh(j)
     tc = jnp.tanh(c_new)
 
     dh_total = dout_ref[0] + dh_scr[:]
@@ -236,8 +239,8 @@ def _bwd_kernel(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     dh_scr[:] = jnp.where(keep, dh_prev_new, dh_scr[:])
 
 
-def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
-                bias, w_i, w_f, w_o):
+def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
+                w_i, w_f, w_o):
     G = 4 * Up
     rev3 = lambda t: (T - 1 - t, 0, 0)
     # previous-step history: sequence index max(T-2-t, 0); the t==T-1
@@ -247,15 +250,13 @@ def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
     grid_spec = pl.GridSpec(
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # xw
+            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # acts
             pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec((1, B, P), rev3, memory_space=pltpu.VMEM),   # dout
             pl.BlockSpec((1, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
             pl.BlockSpec((1, B, Up), prev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, P), prev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
@@ -284,7 +285,7 @@ def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
         ],
         compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
                                     scratch),
-    )(xw, mask, dout, c_hist, c_hist, h_hist, w_h, proj, bias,
+    )(acts, mask, dout, c_hist, c_hist, w_h, proj,
       w_i, w_f, w_o)
 
 
@@ -296,14 +297,17 @@ def _bwd_pallas(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
 _ACC_BWD_MIN_BATCH = 32
 
 
-def _bwd_kernel_acc(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
-                    w_h_ref, proj_ref, bias_ref, w_i_ref, w_f_ref, w_o_ref,
+def _bwd_kernel_acc(acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
+                    hprev_ref, w_h_ref, proj_ref,
+                    w_i_ref, w_f_ref, w_o_ref,
                     dxw_ref, dwh_ref, dproj_ref, dbias_ref,
                     dwi_ref, dwf_ref, dwo_ref,
                     dc_scr, dh_scr):
     """Reverse-time step with IN-KERNEL weight-gradient accumulation into
     revisited output blocks — the large-batch variant (see
-    _ACC_BWD_MIN_BATCH)."""
+    _ACC_BWD_MIN_BATCH). Gate activations stream in from the forward
+    (saved, not recomputed); h(t-1) still streams in for the dW_h
+    accumulation."""
     t = pl.program_id(0)          # 0..T-1, walking the sequence in REVERSE
     T = pl.num_programs(0)
     Up = dc_scr.shape[1]
@@ -325,24 +329,15 @@ def _bwd_kernel_acc(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     c_new = c_ref[0]             # post-mask == true c at valid steps
     keep = mask_ref[0, 0][:, None] > 0
 
-    # recompute gate pre-activations
     wdt = w_h_ref.dtype
-    gates = (xw_ref[0]
-             + jnp.dot(h_prev.astype(wdt), w_h_ref[:],
-                       preferred_element_type=jnp.float32)
-             + bias_ref[0])
-    i = gates[:, 0 * Up:1 * Up]
-    j = gates[:, 1 * Up:2 * Up]
-    f = gates[:, 2 * Up:3 * Up]
-    o = gates[:, 3 * Up:4 * Up]
+    acts = acts_ref[0].astype(jnp.float32)
+    si = acts[:, 0 * Up:1 * Up]
+    tj = acts[:, 1 * Up:2 * Up]
+    sf = acts[:, 2 * Up:3 * Up]
+    so = acts[:, 3 * Up:4 * Up]
     w_i = w_i_ref[0]
     w_f = w_f_ref[0]
     w_o = w_o_ref[0]
-
-    si = jax.nn.sigmoid(i + w_i * c_prev)
-    sf = jax.nn.sigmoid(f + w_f * c_prev)
-    so = jax.nn.sigmoid(o + w_o * c_new)
-    tj = jnp.tanh(j)
     tc = jnp.tanh(c_new)
     m = so * tc
 
@@ -385,8 +380,8 @@ def _bwd_kernel_acc(xw_ref, mask_ref, dout_ref, c_ref, cprev_ref, hprev_ref,
     dh_scr[:] = jnp.where(keep, dh_prev_new, dh_scr[:])
 
 
-def _bwd_pallas_acc(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
-                    bias, w_i, w_f, w_o):
+def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
+                    proj, w_i, w_f, w_o):
     G = 4 * Up
     rev3 = lambda t: (T - 1 - t, 0, 0)
     prev3 = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
@@ -394,7 +389,7 @@ def _bwd_pallas_acc(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
     grid_spec = pl.GridSpec(
         grid=(T,),
         in_specs=[
-            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # xw
+            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # acts
             pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec((1, B, P), rev3, memory_space=pltpu.VMEM),   # dout
             pl.BlockSpec((1, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
@@ -402,7 +397,6 @@ def _bwd_pallas_acc(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
             pl.BlockSpec((1, B, P), prev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
@@ -440,7 +434,7 @@ def _bwd_pallas_acc(T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj,
         ],
         compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
                                     grad_blocks, scratch),
-    )(xw, mask, dout, c_hist, c_hist, h_hist, w_h, proj, bias,
+    )(acts, mask, dout, c_hist, c_hist, h_hist, w_h, proj,
       w_i, w_f, w_o)
 
 
@@ -465,9 +459,9 @@ def lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist):
     return dwh, dproj, dbias, dwi, dwf, dwo
 
 
-def lstm_layer_bwd(T, B, Up, P, xw, mask3, dout, c_hist, h_hist, w_h,
-                   proj, bias, w_i, w_f, w_o):
-    """Single-layer backward. Returns
+def lstm_layer_bwd(T, B, Up, P, acts, mask3, dout, c_hist, h_hist, w_h,
+                   proj, w_i, w_f, w_o):
+    """Single-layer backward from SAVED forward activations. Returns
     (dxw, dwh, dproj, dbias, dwi, dwf, dwo) in padded gate dims.
 
     Two variants, selected by batch size (_ACC_BWD_MIN_BATCH): small B
@@ -476,10 +470,10 @@ def lstm_layer_bwd(T, B, Up, P, xw, mask3, dout, c_hist, h_hist, w_h,
     to avoid the streams' HBM round-trips.
     """
     if B >= _ACC_BWD_MIN_BATCH:
-        return _bwd_pallas_acc(T, B, Up, P, xw, mask3, dout, c_hist,
-                               h_hist, w_h, proj, bias, w_i, w_f, w_o)
-    dxw, m_m, dh_m = _bwd_pallas(T, B, Up, P, xw, mask3, dout, c_hist,
-                                 h_hist, w_h, proj, bias, w_i, w_f, w_o)
+        return _bwd_pallas_acc(T, B, Up, P, acts, mask3, dout, c_hist,
+                               h_hist, w_h, proj, w_i, w_f, w_o)
+    dxw, m_m, dh_m = _bwd_pallas(T, B, Up, P, acts, mask3, dout, c_hist,
+                                 w_h, proj, w_i, w_f, w_o)
     return (dxw,) + lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist)
 
 
@@ -495,23 +489,23 @@ def lstm_seq_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
     f32 1/0, w_h [P,4Up], proj [Up,P], bias [1,4Up] (forget_bias already
     folded into the f quarter), peepholes [1,Up]. Returns out [T,B,P].
     """
-    out, _, _ = _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o)
+    out, _, _, _ = _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o)
     return out
 
 
 def _lstm_seq_fwd(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
-    out, c_hist, h_hist = _fwd_pallas(xw, mask, w_h, proj, bias,
-                                      w_i, w_f, w_o)
-    return out, (xw, mask, c_hist, h_hist, w_h, proj, bias, w_i, w_f, w_o)
+    out, c_hist, h_hist, acts = _fwd_pallas(xw, mask, w_h, proj, bias,
+                                            w_i, w_f, w_o)
+    return out, (acts, mask, c_hist, h_hist, w_h, proj, w_i, w_f, w_o)
 
 
 def _lstm_seq_bwd(res, dout):
-    xw, mask, c_hist, h_hist, w_h, proj, bias, w_i, w_f, w_o = res
-    T, B, G = xw.shape
+    acts, mask, c_hist, h_hist, w_h, proj, w_i, w_f, w_o = res
+    T, B, G = acts.shape
     Up = G // 4
     P = proj.shape[1]
     dxw, dwh, dproj, dbias, dwi, dwf, dwo = lstm_layer_bwd(
-        T, B, Up, P, xw, mask, dout, c_hist, h_hist, w_h, proj, bias,
+        T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h, proj,
         w_i, w_f, w_o)
     return (dxw, None, dwh.astype(w_h.dtype), dproj.astype(proj.dtype),
             dbias, dwi, dwf, dwo)

@@ -39,7 +39,7 @@ from rsrgan_tpu.ops.pallas_lstm import _round_up, pad_gate_dim
 def _wavefront_kernel(L, T, residual, xw1_ref, mask_ref, x_ref,
                       wx_ref, wh_ref, proj_ref, bias_ref,
                       wi_ref, wf_ref, wo_ref,
-                      tap_ref, c_hist_ref, h_hist_ref,
+                      tap_ref, c_hist_ref, h_hist_ref, acts_ref,
                       c_scr, h_scr, in_scr):
     """One grid step of the L-layer wavefront.
 
@@ -56,6 +56,8 @@ def _wavefront_kernel(L, T, residual, xw1_ref, mask_ref, x_ref,
       tap_ref    [L, 1, B, P]  tap_k(t) = out_k(t) + in_k(t)   (post-mask)
       c_hist_ref [L, 1, B, Up] post-mask cell state per layer
       h_hist_ref [L, 1, B, P]  post-mask hidden state per layer
+      acts_ref   [L, 1, B, G]  gate activations [si, tj, sf, so] (saved
+                               for the backward — no gates recompute)
     Scratch:
       c_scr [L, B, Up], h_scr [L, B, P] — recurrent states
       in_scr [L, B, P] — in_k(t) handoff: slot k holds the input the layer
@@ -98,9 +100,12 @@ def _wavefront_kernel(L, T, residual, xw1_ref, mask_ref, x_ref,
             w_i = wi_ref[k, 0]
             w_f = wf_ref[k, 0]
             w_o = wo_ref[k, 0]
-            c_new = (jax.nn.sigmoid(f + w_f * c_prev) * c_prev
-                     + jax.nn.sigmoid(i + w_i * c_prev) * jnp.tanh(j))
-            m = jax.nn.sigmoid(o + w_o * c_new) * jnp.tanh(c_new)
+            si = jax.nn.sigmoid(i + w_i * c_prev)
+            sf = jax.nn.sigmoid(f + w_f * c_prev)
+            tj = jnp.tanh(j)
+            c_new = sf * c_prev + si * tj
+            so = jax.nn.sigmoid(o + w_o * c_new)
+            m = so * jnp.tanh(c_new)
             h_new = jnp.dot(m.astype(wdt), proj_ref[k],
                             preferred_element_type=jnp.float32)
 
@@ -118,6 +123,8 @@ def _wavefront_kernel(L, T, residual, xw1_ref, mask_ref, x_ref,
             tap_ref[k, 0] = tap
             c_hist_ref[k, 0] = c_keep
             h_hist_ref[k, 0] = h_keep
+            acts_ref[k, 0] = jnp.concatenate(
+                [si, tj, sf, so], axis=1).astype(acts_ref.dtype)
 
 
 def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
@@ -131,9 +138,10 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
     Weight stacks: wx [L-1, P, G], wh [L, P, G], proj [L, Up, P],
     bias [L, 1, G], peepholes [L, 1, Up].
 
-    Returns (taps [L, T, B, P], c_hist [L, T, B, Up], h_hist [L, T, B, P])
-    — taps[k] only valid at wavefront-consistent positions; taps[L-1] is
-    the generator tap, taps[:L-1] equal the inputs of the next layer.
+    Returns (taps [L, T, B, P], c_hist [L, T, B, Up], h_hist [L, T, B, P],
+    acts [L, T, B, G]) — each [k] only valid at wavefront-consistent
+    positions; taps[L-1] is the generator tap, taps[:L-1] equal the
+    inputs of the next layer; acts are the saved gate activations.
     """
     T, B, G = xw1.shape
     L = wh.shape[0]
@@ -150,7 +158,7 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
     weights = ((L - 1) * ps * G + L * ps * G) * wbytes \
         + L * Up * pl_ * wbytes + L * (G + 3 * Up) * 4
     stream = 2 * (B * G * 4 + B * pl_ * 4)                      # xw1, x
-    outs = 2 * L * (2 * B * pl_ * 4 + B * Up * 4)               # taps,h,c
+    outs = 2 * L * (2 * B * pl_ * 4 + B * Up * 4 + B * G * wbytes)
     scratch = L * (B * Up + 2 * B * pl_) * 4
     vmem_limit = max(16, int((weights + stream + outs + scratch)
                              * 1.25) // 2**20 + 1) * 2**20
@@ -188,6 +196,8 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 1, B, P), _wave_out_map(L, T),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, B, G), _wave_out_map(L, T),
+                         memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((L, B, Up), jnp.float32),
@@ -203,6 +213,7 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
             jax.ShapeDtypeStruct((L, S, B, P), jnp.float32),
             jax.ShapeDtypeStruct((L, S, B, Up), jnp.float32),
             jax.ShapeDtypeStruct((L, S, B, P), jnp.float32),
+            jax.ShapeDtypeStruct((L, S, B, G), wh.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),

@@ -115,14 +115,15 @@ def _stack_fwd_impl(static, x, mask, flat_params):
     for k in range(L):
         mask_lt = mask_lt.at[k, k:k + T, 0].set(mask)
 
-    taps_s, c_s, h_s = lstm_wavefront_fwd(
+    taps_s, c_s, h_s, a_s = lstm_wavefront_fwd(
         xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo,
         residual=residual)
     # de-skew: layer k's timestep t lives at grid position s = t + k
     taps = jnp.stack([taps_s[k, k:k + T] for k in range(L)])
     c_hist = jnp.stack([c_s[k, k:k + T] for k in range(L)])
     h_hist = jnp.stack([h_s[k, k:k + T] for k in range(L)])
-    residuals = (x, mask, flat_params, taps, c_hist, h_hist)
+    acts = jnp.stack([a_s[k, k:k + T] for k in range(L)])
+    residuals = (x, mask, flat_params, taps, c_hist, h_hist, acts)
     return taps[L - 1], residuals
 
 
@@ -133,7 +134,7 @@ def _stack_fwd(static, x, mask, flat_params):
 def _stack_bwd(static, residuals, dtap_top):
     forget_bias, dtype_name, residual = static
     cdt = jnp.dtype(dtype_name)
-    (x, mask, flat_params, taps, c_hist, h_hist) = residuals
+    (x, mask, flat_params, taps, c_hist, h_hist, acts) = residuals
     params_list = _as_dicts(flat_params)
     T, B, P = x.shape
     L = len(params_list)
@@ -148,6 +149,8 @@ def _stack_bwd(static, residuals, dtap_top):
     mask_tb = mask  # [T, B]
 
     # layer inputs from the residual chain: in_0 = x, in_k = tap_{k-1}
+    # (needed only for the dwx reductions — the reverse kernels run from
+    # the forward's SAVED gate activations, so no xw recompute einsums)
     ins = [x] + [taps[k] for k in range(L - 1)]
 
     dtap = dtap_top
@@ -155,12 +158,10 @@ def _stack_bwd(static, residuals, dtap_top):
     for k in reversed(range(L)):
         dout_k = dtap
         din_k = dtap if residual else jnp.zeros_like(dtap)
-        xw_k = jnp.einsum("tbd,dg->tbg", ins[k].astype(cdt), wx[k],
-                          preferred_element_type=jnp.float32)
         mask3 = mask_tb[:, None, :]  # [T, 1, B]
         dxw, dwh, dproj, dbias, dwi, dwf, dwo = lstm_layer_bwd(
-            T, B, Up, P, xw_k, mask3, dout_k, c_hist[k], h_hist[k],
-            wh[k], proj[k], bias[k], wi[k], wf[k], wo[k])
+            T, B, Up, P, acts[k], mask3, dout_k, c_hist[k], h_hist[k],
+            wh[k], proj[k], wi[k], wf[k], wo[k])
         din_k = din_k + jnp.einsum("tbg,dg->tbd", dxw.astype(cdt), wx[k],
                                    preferred_element_type=jnp.float32)
         dwx = jnp.einsum("tbd,tbg->dg", ins[k], dxw)
