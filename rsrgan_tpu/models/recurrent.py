@@ -134,7 +134,8 @@ class ResLstmGenerator(nn.Module):
                             name=f"lstm_cell_{k + 1}")()
                 for k in range(num_layers)]
             tap = res_lstm_l_stack(inputs, lengths, params,
-                                   compute_dtype=self.compute_dtype)
+                                   compute_dtype=self.compute_dtype,
+                                   save_acts=train)
             return nn.Dense(self.output_dim, kernel_init=_GLOROT,
                             name="forward_out")(tap)
 
@@ -144,10 +145,11 @@ class ResLstmGenerator(nn.Module):
                 else self.lstm_impl)
 
         def cell(idx):
-            return LstmCellP(self.cell_size, num_proj,
-                             compute_dtype=self.compute_dtype,
-                             lstm_impl=impl,
-                             name=f"lstm_cell_{idx + 1}")
+            mod = LstmCellP(self.cell_size, num_proj,
+                            compute_dtype=self.compute_dtype,
+                            lstm_impl=impl,
+                            name=f"lstm_cell_{idx + 1}")
+            return lambda h, lens: mod(h, lens, save_acts=train)
 
         def dropout(h):
             if train and self.keep_prob < 1.0:

@@ -50,7 +50,10 @@ class LstmCellP(nn.Module):
 
     @nn.compact
     def __call__(self, inputs: jnp.ndarray,
-                 lengths: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 lengths: Optional[jnp.ndarray] = None,
+                 save_acts: bool = True) -> jnp.ndarray:
+        # save_acts=False (inference) skips the backward's saved-activation
+        # stream in the fused kernel; such a forward is not differentiable
         B, T, D = inputs.shape
         U, P = self.num_units, self.num_proj
 
@@ -83,7 +86,8 @@ class LstmCellP(nn.Module):
             from rsrgan_tpu.ops.pallas_lstm import lstm_seq
 
             out = lstm_seq(xw, lengths, w_h, proj, bias, w_i, w_f, w_o,
-                           self.forget_bias, compute_dtype=cdt)
+                           self.forget_bias, compute_dtype=cdt,
+                           save_acts=save_acts)
             return jnp.swapaxes(out, 0, 1)
 
         if lengths is not None:
@@ -147,7 +151,8 @@ class StackedLstm(nn.Module):
                 for k in range(self.num_layers)]
             return lstm_stack_wavefront(inputs, lengths, params,
                                         residual=False,
-                                        compute_dtype=self.compute_dtype)
+                                        compute_dtype=self.compute_dtype,
+                                        save_acts=train)
 
         impl = "pallas" if self.lstm_impl == "wavefront" else self.lstm_impl
         h = inputs
@@ -155,7 +160,8 @@ class StackedLstm(nn.Module):
             h = LstmCellP(self.num_units, self.num_proj,
                           compute_dtype=self.compute_dtype,
                           lstm_impl=impl,
-                          name=f"cell_{layer}")(h, lengths)
+                          name=f"cell_{layer}")(h, lengths,
+                                                save_acts=train)
             if use_dropout:
                 h = nn.Dropout(rate=1.0 - self.dropout_keep_prob,
                                deterministic=False)(h)

@@ -25,6 +25,8 @@ Used by LstmCellP via ``lstm_seq`` (custom_vjp), selected with
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -61,10 +63,13 @@ def _lstm_block_bytes(B: int, Up: int, P: int, G: int, wbytes: int):
 # forward kernel
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
+def _fwd_kernel(save_acts, xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
                 w_i_ref, w_f_ref, w_o_ref,
-                out_ref, c_hist_ref, h_hist_ref, acts_ref,
-                c_scr, h_scr):
+                out_ref, c_hist_ref, h_hist_ref, *rest):
+    if save_acts:
+        acts_ref, c_scr, h_scr = rest
+    else:
+        acts_ref, (c_scr, h_scr) = None, rest
     t = pl.program_id(0)
     Up = c_scr.shape[1]
 
@@ -107,14 +112,17 @@ def _fwd_kernel(xw_ref, mask_ref, w_h_ref, proj_ref, bias_ref,
     out_ref[0] = jnp.where(keep > 0, h_new, 0.0)
     c_hist_ref[0] = c_keep
     h_hist_ref[0] = h_keep
-    # saved gate activations, packed in gate-slot order [si, tj, sf, so]:
-    # the backward reads these instead of recomputing gates — removing the
-    # reverse pass's largest matmul AND the outside xw-recompute einsums
-    acts_ref[0] = jnp.concatenate([si, tj, sf, so],
-                                  axis=1).astype(acts_ref.dtype)
+    if save_acts:
+        # saved gate activations, packed in gate-slot order [si,tj,sf,so]:
+        # the backward reads these instead of recomputing gates — removing
+        # the reverse pass's largest matmul AND the outside xw-recompute
+        # einsums. Inference forwards skip the stream (save_acts=False).
+        acts_ref[0] = jnp.concatenate([si, tj, sf, so],
+                                      axis=1).astype(acts_ref.dtype)
 
 
-def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
+def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o,
+                save_acts: bool = True):
     T, B, G = xw.shape  # G = 4*Up
     Up = G // 4
     P = proj.shape[1]
@@ -145,9 +153,8 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, B, P), lambda t: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, G), lambda t: (t, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((1, B, G), lambda t: (t, 0, 0),
+                           memory_space=pltpu.VMEM)] if save_acts else []),
         scratch_shapes=[
             pltpu.VMEM((B, Up), jnp.float32),
             pltpu.VMEM((B, P), jnp.float32),
@@ -156,19 +163,22 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
     wb = jnp.dtype(w_h.dtype).itemsize
     weights, stream_in, scratch = _lstm_block_bytes(B, Up, P, G, wb)
     plane = _round_up(P, 128)
-    out_core = 2 * B * plane * 4 + B * Up * 4 + B * G * wb
-    return pl.pallas_call(
-        _fwd_kernel,
+    out_core = 2 * B * plane * 4 + B * Up * 4 + (B * G * wb if save_acts
+                                                 else 0)
+    kernel = functools.partial(_fwd_kernel, save_acts)
+    outs = pl.pallas_call(
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, P), jnp.float32),
             jax.ShapeDtypeStruct((T, B, Up), jnp.float32),
             jax.ShapeDtypeStruct((T, B, P), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, G), w_h.dtype),
-        ],
+        ] + ([jax.ShapeDtypeStruct((T, B, G), w_h.dtype)] if save_acts
+             else []),
         compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
                                     scratch),
     )(xw, mask, w_h, proj, bias, w_i, w_f, w_o)
+    return outs if save_acts else tuple(outs) + (None,)
 
 
 # ---------------------------------------------------------------------------
@@ -493,6 +503,14 @@ def lstm_seq_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
     return out
 
 
+def lstm_seq_pallas_infer(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
+    """Forward-only variant: no activation stream, NOT differentiable
+    (jax will raise on grad — use lstm_seq_pallas in training paths)."""
+    out, _, _, _ = _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o,
+                               save_acts=False)
+    return out
+
+
 def _lstm_seq_fwd(xw, mask, w_h, proj, bias, w_i, w_f, w_o):
     out, c_hist, h_hist, acts = _fwd_pallas(xw, mask, w_h, proj, bias,
                                             w_i, w_f, w_o)
@@ -529,7 +547,8 @@ def pad_gate_dim(a: jnp.ndarray, U: int, Up: int) -> jnp.ndarray:
 
 
 def lstm_seq(xw, lengths, w_h, proj, bias, w_i, w_f, w_o,
-             forget_bias: float = 1.0, compute_dtype=jnp.float32):
+             forget_bias: float = 1.0, compute_dtype=jnp.float32,
+             save_acts: bool = True):
     """Run the fused recurrence with natural (unpadded) shapes.
 
     xw [T,B,4U] f32, lengths [B] or None, w_h [P,4U], proj [U,P],
@@ -557,4 +576,5 @@ def lstm_seq(xw, lengths, w_h, proj, bias, w_i, w_f, w_o,
     else:
         mask = jnp.ones((T, B), jnp.float32)
     mask = mask[:, None, :]  # [T, 1, B] — satisfies TPU block tiling rules
-    return lstm_seq_pallas(xw_p, mask, w_h_p, proj_p, bias_eff, *peep)
+    fn = lstm_seq_pallas if save_acts else lstm_seq_pallas_infer
+    return fn(xw_p, mask, w_h_p, proj_p, bias_eff, *peep)

@@ -36,11 +36,14 @@ from jax.experimental.pallas import tpu as pltpu
 from rsrgan_tpu.ops.pallas_lstm import _round_up, pad_gate_dim
 
 
-def _wavefront_kernel(L, T, residual, xw1_ref, mask_ref, x_ref,
+def _wavefront_kernel(L, T, residual, save_acts, xw1_ref, mask_ref, x_ref,
                       wx_ref, wh_ref, proj_ref, bias_ref,
                       wi_ref, wf_ref, wo_ref,
-                      tap_ref, c_hist_ref, h_hist_ref, acts_ref,
-                      c_scr, h_scr, in_scr):
+                      tap_ref, c_hist_ref, h_hist_ref, *rest):
+    if save_acts:
+        acts_ref, c_scr, h_scr, in_scr = rest
+    else:
+        acts_ref, (c_scr, h_scr, in_scr) = None, rest
     """One grid step of the L-layer wavefront.
 
     Refs:
@@ -123,12 +126,13 @@ def _wavefront_kernel(L, T, residual, xw1_ref, mask_ref, x_ref,
             tap_ref[k, 0] = tap
             c_hist_ref[k, 0] = c_keep
             h_hist_ref[k, 0] = h_keep
-            acts_ref[k, 0] = jnp.concatenate(
-                [si, tj, sf, so], axis=1).astype(acts_ref.dtype)
+            if save_acts:
+                acts_ref[k, 0] = jnp.concatenate(
+                    [si, tj, sf, so], axis=1).astype(acts_ref.dtype)
 
 
 def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
-                           wi, wf, wo, residual=True):
+                       wi, wf, wo, residual=True, save_acts=True):
     """Launch the wavefront forward.
 
     xw1 [T, B, G] layer-1 projection; mask_lt [L, T+L, 1, B] per-layer
@@ -158,7 +162,8 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
     weights = ((L - 1) * ps * G + L * ps * G) * wbytes \
         + L * Up * pl_ * wbytes + L * (G + 3 * Up) * 4
     stream = 2 * (B * G * 4 + B * pl_ * 4)                      # xw1, x
-    outs = 2 * L * (2 * B * pl_ * 4 + B * Up * 4 + B * G * wbytes)
+    outs = 2 * L * (2 * B * pl_ * 4 + B * Up * 4
+                    + (B * G * wbytes if save_acts else 0))
     scratch = L * (B * Up + 2 * B * pl_) * 4
     vmem_limit = max(16, int((weights + stream + outs + scratch)
                              * 1.25) // 2**20 + 1) * 2**20
@@ -196,28 +201,29 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((L, 1, B, P), _wave_out_map(L, T),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, B, G), _wave_out_map(L, T),
-                         memory_space=pltpu.VMEM),
-        ],
+        ] + ([pl.BlockSpec((L, 1, B, G), _wave_out_map(L, T),
+                           memory_space=pltpu.VMEM)] if save_acts else []),
         scratch_shapes=[
             pltpu.VMEM((L, B, Up), jnp.float32),
             pltpu.VMEM((L, B, P), jnp.float32),
             pltpu.VMEM((L, B, P), jnp.float32),
         ],
     )
-    kernel = lambda *refs: _wavefront_kernel(L, T, residual, *refs)
-    return pl.pallas_call(
+    kernel = lambda *refs: _wavefront_kernel(L, T, residual, save_acts,
+                                             *refs)
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((L, S, B, P), jnp.float32),
             jax.ShapeDtypeStruct((L, S, B, Up), jnp.float32),
             jax.ShapeDtypeStruct((L, S, B, P), jnp.float32),
-            jax.ShapeDtypeStruct((L, S, B, G), wh.dtype),
-        ],
+        ] + ([jax.ShapeDtypeStruct((L, S, B, G), wh.dtype)] if save_acts
+             else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=vmem_limit),
     )(xw1, mask_lt, x, wx, wh, proj, bias, wi, wf, wo)
+    return outs if save_acts else tuple(outs) + (None,)
 
 
 def _wave_out_map(L, T):

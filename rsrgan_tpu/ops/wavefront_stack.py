@@ -53,18 +53,20 @@ def _prep(params_list, D, forget_bias):
 
 def res_lstm_l_stack(x_bm: jnp.ndarray, lengths, params_list,
                      forget_bias: float = 1.0,
-                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                     compute_dtype=jnp.bfloat16,
+                     save_acts: bool = True) -> jnp.ndarray:
     """[B, T, P] batch-major input -> final tap [B, T, P] (pre-dense).
 
     Equivalent to chaining L LstmCellP layers with res_lstm_l residuals.
     """
     return lstm_stack_wavefront(x_bm, lengths, params_list, True,
-                                forget_bias, compute_dtype)
+                                forget_bias, compute_dtype, save_acts)
 
 
 def lstm_stack_wavefront(x_bm, lengths, params_list, residual,
                          forget_bias: float = 1.0,
-                         compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                         compute_dtype=jnp.bfloat16,
+                         save_acts: bool = True) -> jnp.ndarray:
     """Wavefront L-layer stack; residual=False gives MultiRNNCell wiring
     (StackedLstm parity). Requires every layer's input dim from layer 1
     on to equal num_proj (true for both wirings)."""
@@ -74,11 +76,16 @@ def lstm_stack_wavefront(x_bm, lengths, params_list, residual,
         lengths = jnp.full((B,), T, jnp.int32)
     mask = (jnp.arange(T)[:, None]
             < lengths[None, :].astype(jnp.int32)).astype(jnp.float32)
-    tap = _stack_vjp((float(forget_bias), jnp.dtype(compute_dtype).name,
-                      bool(residual)),
-                     x, mask, tuple(
+    flat = tuple(
         tuple(p[k] for k in ("kernel", "bias", "proj_kernel", "w_i_diag",
-                             "w_f_diag", "w_o_diag")) for p in params_list))
+                             "w_f_diag", "w_o_diag")) for p in params_list)
+    static = (float(forget_bias), jnp.dtype(compute_dtype).name,
+              bool(residual))
+    if save_acts:
+        tap = _stack_vjp(static, x, mask, flat)
+    else:
+        # inference: skip the activation stream; NOT differentiable
+        tap, _ = _stack_fwd_impl(static, x, mask, flat, save_acts=False)
     return jnp.swapaxes(tap, 0, 1)
 
 
@@ -94,7 +101,7 @@ def _stack_vjp(static, x, mask, flat_params):
     return tap
 
 
-def _stack_fwd_impl(static, x, mask, flat_params):
+def _stack_fwd_impl(static, x, mask, flat_params, save_acts=True):
     forget_bias, dtype_name, residual = static
     cdt = jnp.dtype(dtype_name)
     params_list = _as_dicts(flat_params)
@@ -117,8 +124,10 @@ def _stack_fwd_impl(static, x, mask, flat_params):
 
     taps_s, c_s, h_s, a_s = lstm_wavefront_fwd(
         xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo,
-        residual=residual)
+        residual=residual, save_acts=save_acts)
     # de-skew: layer k's timestep t lives at grid position s = t + k
+    if not save_acts:
+        return taps_s[L - 1, L - 1:L - 1 + T], None
     taps = jnp.stack([taps_s[k, k:k + T] for k in range(L)])
     c_hist = jnp.stack([c_s[k, k:k + T] for k in range(L)])
     h_hist = jnp.stack([h_s[k, k:k + T] for k in range(L)])

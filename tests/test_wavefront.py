@@ -21,17 +21,23 @@ def test_wavefront_matches_scan(rng):
     params = scan_gen.init(jax.random.PRNGKey(0), x, lens)
 
     def loss(gen):
-        return lambda p, x: jnp.sum(jnp.sin(gen.apply(p, x, lens)))
+        # train=True: the inference forward (train=False) intentionally
+        # skips the saved-activation stream and is not differentiable
+        return lambda p, x: jnp.sum(jnp.sin(gen.apply(p, x, lens, True)))
 
     with pltpu.force_tpu_interpret_mode():
         # identical parameter tree -> checkpoints interchange
         pw = wave_gen.init(jax.random.PRNGKey(0), x, lens)
         assert (jax.tree_util.tree_structure(pw)
                 == jax.tree_util.tree_structure(params))
-        o_wave = wave_gen.apply(params, x, lens)
+        o_wave = wave_gen.apply(params, x, lens)       # no-acts kernel
+        o_wave_tr = wave_gen.apply(params, x, lens, True)
         g_wave = jax.grad(loss(wave_gen), argnums=(0, 1))(params, x)
     o_scan = scan_gen.apply(params, x, lens)
     g_scan = jax.grad(loss(scan_gen), argnums=(0, 1))(params, x)
+    # inference (save_acts=False) and training forwards agree
+    np.testing.assert_allclose(np.asarray(o_wave), np.asarray(o_wave_tr),
+                               atol=1e-6)
 
     np.testing.assert_allclose(np.asarray(o_wave), np.asarray(o_scan),
                                atol=1e-5)
@@ -53,7 +59,8 @@ def test_plain_stack_wavefront_matches_scan(rng):
     params = d_scan.init(jax.random.PRNGKey(0), y, lens)
 
     def loss(d):
-        return lambda p, y: jnp.sum(jnp.tanh(d.apply(p, y, lens)))
+        return lambda p, y: jnp.sum(jnp.tanh(
+            d.apply(p, y, lens, 0.0, True)))
 
     with pltpu.force_tpu_interpret_mode():
         ow = d_wave.apply(params, y, lens)
@@ -79,7 +86,7 @@ def test_odd_layer_stack_mixes_pair_and_single(rng):
     params = scan_m.init(jax.random.PRNGKey(0), x, lens)
 
     def loss(m):
-        return lambda p, x: jnp.sum(jnp.cos(m.apply(p, x, lens)))
+        return lambda p, x: jnp.sum(jnp.cos(m.apply(p, x, lens, True)))
 
     with pltpu.force_tpu_interpret_mode():
         ow = wave_m.apply(params, x, lens)
