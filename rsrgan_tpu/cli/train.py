@@ -63,15 +63,21 @@ class MetricsWriter:
     into save_dir/train and save_dir/eval
     (models/gan_rnn_placeholder.py:81-86)."""
 
-    def __init__(self, save_dir: str, split: str, tensorboard: bool = False):
-        os.makedirs(save_dir, exist_ok=True)
+    def __init__(self, save_dir: str, split: str, tensorboard: bool = False,
+                 enabled: bool = True):
+        self.enabled = enabled  # False on non-coordinator processes
         self.path = os.path.join(save_dir, f"metrics_{split}.jsonl")
         self._tb = None
+        if not enabled:
+            return
+        os.makedirs(save_dir, exist_ok=True)
         if tensorboard:
             from rsrgan_tpu.training.tensorboard import EventFileWriter
             self._tb = EventFileWriter(os.path.join(save_dir, split))
 
     def write(self, iteration: int, metrics: dict) -> None:
+        if not self.enabled:
+            return
         scalars = {k: float(v) for k, v in metrics.items()}
         with open(self.path, "a") as f:
             f.write(json.dumps({"iteration": iteration, **scalars}) + "\n")
@@ -313,10 +319,10 @@ def run_sequence_training(args) -> int:
     hp = make_hparams(args, num_devices)
     tracker = ImprovementTracker(args.end_improve)
     profiler = Profiler(args.profile_dir)
-    tr_writer = MetricsWriter(args.save_dir, "train",
-                              args.tensorboard and is_coordinator())
-    cv_writer = MetricsWriter(args.save_dir, "eval",
-                              args.tensorboard and is_coordinator())
+    tr_writer = MetricsWriter(args.save_dir, "train", args.tensorboard,
+                              enabled=is_coordinator())
+    cv_writer = MetricsWriter(args.save_dir, "eval", args.tensorboard,
+                              enabled=is_coordinator())
     step_rng = jax.random.PRNGKey(args.seed + 1)
     metric_keys = GAN_METRICS if is_gan else MSE_METRICS
 
@@ -508,8 +514,10 @@ def run_frame_training(args) -> int:
     hp = make_hparams(args, num_devices)
     profiler = Profiler(args.profile_dir)
     g_lr = float(hp["g_lr"])
-    tr_writer = MetricsWriter(args.save_dir, "train", args.tensorboard)
-    cv_writer = MetricsWriter(args.save_dir, "eval", args.tensorboard)
+    tr_writer = MetricsWriter(args.save_dir, "train", args.tensorboard,
+                              enabled=is_coordinator())
+    cv_writer = MetricsWriter(args.save_dir, "eval", args.tensorboard,
+                              enabled=is_coordinator())
     step_rng = jax.random.PRNGKey(args.seed + 1)
     metric_keys = (SEGAN_METRICS if is_segan
                    else GAN_METRICS if is_gan else MSE_METRICS)

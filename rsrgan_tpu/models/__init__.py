@@ -59,9 +59,10 @@ def get_discriminator(d_type: str, *, keep_prob: float = 1.0,
                       compute_dtype: Any = jnp.float32,
                       lstm_impl: str = "scan"):
     if lstm_impl == "wavefront":
-        # measured: the wavefront stack LOSES on the small D cells (in-
-        # kernel input projections beat hoisted xw only for the big G
-        # cells) — 297.7k vs 304.4k frames/s. Keep D on the per-layer
+        # measured twice (304.4k vs 297.7k; re-measured 346.7k vs 342.3k
+        # after the stacked-D + saved-acts changes): the wavefront stack
+        # LOSES on the small D cells — in-kernel input projections beat
+        # hoisted xw only for the big G cells. Keep D on the per-layer
         # kernel; StackedLstm(lstm_impl='wavefront') stays available.
         lstm_impl = "pallas"
     if d_type == "lstm":
