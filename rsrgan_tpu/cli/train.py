@@ -102,6 +102,14 @@ class PeriodicSnapshotter:
         self._last = time.monotonic()
         log(f"Periodic snapshot saved ({self.name}.periodic.ckpt)")
 
+    def invalidate(self) -> None:
+        """Drop the snapshot when the live state is rolled back — a
+        snapshot of the rejected trajectory must not win on resume."""
+        from rsrgan_tpu.training.checkpoints import periodic_snapshot_path
+        path = periodic_snapshot_path(self.save_dir, self.name)
+        if os.path.isfile(path):
+            os.remove(path)
+
 
 def restore_state(args, name: str, state):
     """Latest accepted checkpoint; with periodic snapshots enabled, a newer
@@ -338,6 +346,13 @@ def run_sequence_training(args) -> int:
         # scan — amortizes per-dispatch host latency (axon tunnel ~20 ms).
         pending = {}
 
+        def place(arrays, axis=0):
+            """Host batch -> device: sharded over the mesh, or plain
+            device arrays single-device (no jnp->np round trip)."""
+            if mesh is not None:
+                return shard_batch(mesh, arrays, axis)
+            return tuple(jnp.asarray(a) for a in arrays)
+
         def run_group(batches):
             nonlocal state, step_rng
             if len(batches) < steps_per_call:
@@ -345,10 +360,7 @@ def run_sequence_training(args) -> int:
                 # fresh program for every distinct group size
                 for b in batches:
                     step_rng, sub = jax.random.split(step_rng)
-                    arrays = (jnp.asarray(b.inputs), jnp.asarray(b.labels),
-                              jnp.asarray(b.lengths))
-                    if mesh is not None:
-                        arrays = shard_batch(mesh, arrays)
+                    arrays = place((b.inputs, b.labels, b.lengths))
                     if is_gan:
                         state, m = trainer.train_step(state, *arrays, hp,
                                                       sub)
@@ -362,9 +374,7 @@ def run_sequence_training(args) -> int:
             stacked = (np.stack([b.inputs for b in batches]),
                        np.stack([b.labels for b in batches]),
                        np.stack([b.lengths for b in batches]))
-            arrays = tuple(jnp.asarray(a) for a in stacked)
-            if mesh is not None:
-                arrays = shard_batch(mesh, arrays, axis=1)
+            arrays = place(stacked, axis=1)
             if is_gan:
                 state, m = trainer.train_multi_step(state, *arrays, hp, sub)
             else:
@@ -381,10 +391,7 @@ def run_sequence_training(args) -> int:
 
             def next_arrays():
                 b = next(stream)
-                arrays = (jnp.asarray(b.inputs), jnp.asarray(b.labels),
-                          jnp.asarray(b.lengths))
-                return shard_batch(mesh, arrays) if mesh is not None \
-                    else arrays
+                return place((b.inputs, b.labels, b.lengths))
 
             try:
                 while True:
@@ -412,10 +419,7 @@ def run_sequence_training(args) -> int:
             for group in pending.values():
                 run_group(group)
         for batch in ThreadedPrefetcher(iter(cv_batches), 32):
-            arrays = (jnp.asarray(batch.inputs), jnp.asarray(batch.labels),
-                      jnp.asarray(batch.lengths))
-            if mesh is not None:
-                arrays = shard_batch(mesh, arrays)
+            arrays = place((batch.inputs, batch.labels, batch.lengths))
             step_rng, sub = jax.random.split(step_rng)
             if is_gan:
                 metrics = trainer.eval_step(state, *arrays, hp, sub)
@@ -522,12 +526,15 @@ def run_frame_training(args) -> int:
     metric_keys = (SEGAN_METRICS if is_segan
                    else GAN_METRICS if is_gan else MSE_METRICS)
 
+    def place(arrays):
+        if mesh is not None:
+            return shard_batch(mesh, arrays)
+        return tuple(jnp.asarray(a) for a in arrays)
+
     def eval_epoch(state):
         accum = []
         for x, y in cv_batches:
-            arrays = (jnp.asarray(x), jnp.asarray(y))
-            if mesh is not None:
-                arrays = shard_batch(mesh, arrays)
+            arrays = place((x, y))
             if is_segan:
                 accum.append(trainer.eval_step(state, *arrays, hp,
                                                jax.random.PRNGKey(0)))
@@ -549,9 +556,7 @@ def run_frame_training(args) -> int:
         start = datetime.datetime.now()
         tr_accum = []
         for x, y in ThreadedPrefetcher(iter(tr_batches), 32):
-            arrays = (jnp.asarray(x), jnp.asarray(y))
-            if mesh is not None:
-                arrays = shard_batch(mesh, arrays)
+            arrays = place((x, y))
             step_rng, sub = jax.random.split(step_rng)
             if is_segan:
                 state, m = trainer.train_step(state, *arrays, hp, sub)
@@ -590,6 +595,7 @@ def run_frame_training(args) -> int:
                 log("[!] Load failed. No checkpoint to restore. Exit now.")
                 return 1
             state = replicate(mesh, rolled) if mesh is not None else rolled
+            snapper.invalidate()
             log("[*] Load previous model SUCCESS.")
             g_rel_impr = (g_loss_prev - g_loss_new) / g_loss_prev
 
@@ -759,8 +765,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_mse_weight", type=float, default=1.0)
     p.add_argument("--init_l1_weight", type=float, default=100.0)
     p.add_argument("--g_nl", default="leaky", choices=["leaky", "prelu"])
-    p.add_argument("--bias_deconv", type=str2bool, nargs="?", default=True)
-    p.add_argument("--bias_downconv", type=str2bool, nargs="?",
+    p.add_argument("--bias_deconv", type=str2bool, nargs="?", const=True, default=True)
+    p.add_argument("--bias_downconv", type=str2bool, nargs="?", const=True,
                    default=False)
     p.add_argument("--deconv_type", default="deconv",
                    choices=["deconv", "nn_deconv"])
@@ -770,7 +776,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--g_type", type=str, default="lstm")
     p.add_argument("--disc_updates", type=int, default=1)
     p.add_argument("--gen_updates", type=int, default=2)
-    p.add_argument("--batch_norm", type=str2bool, nargs="?", default=False)
+    p.add_argument("--batch_norm", type=str2bool, nargs="?", const=True, default=False)
     p.add_argument("--keep_prob", type=float, default=1.0)
     p.add_argument("--init_disc_noise_std", type=float, default=0.0)
     p.add_argument("--l2_scale", type=float, default=0.00001)
@@ -790,14 +796,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint_every_secs", type=float, default=0.0,
                    help="also snapshot the live state every N seconds "
                         "mid-iteration (crash recovery; 0 = off)")
-    p.add_argument("--tensorboard", type=str2bool, nargs="?", default=True,
+    p.add_argument("--tensorboard", type=str2bool, nargs="?", const=True, default=True,
                    help="also write TensorBoard event files under "
                         "save_dir/{train,eval} (reference FileWriter parity)")
-    p.add_argument("--bf16", type=str2bool, nargs="?", default=True,
+    p.add_argument("--bf16", type=str2bool, nargs="?", const=True, default=True,
                    help="bfloat16 matmuls in models (recommended on TPU)")
     p.add_argument("--steps_per_call", type=int, default=8,
                    help="same-bucket train steps fused under one jit")
-    p.add_argument("--same_batch", type=str2bool, nargs="?", default=True,
+    p.add_argument("--same_batch", type=str2bool, nargs="?", const=True, default=True,
                    help="True: placeholder-trainer semantics (D and G on "
                         "the same minibatch); False: graph-fed semantics "
                         "(each update pulls a fresh batch)")
@@ -806,7 +812,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LSTM recurrence: auto (fused kernels on TPU, scan "
                         "elsewhere), lax.scan, fused Pallas kernel, or the "
                         "wavefront multi-layer kernel (res_lstm_l G)")
-    p.add_argument("--moving_average", type=str2bool, nargs="?",
+    p.add_argument("--moving_average", type=str2bool, nargs="?", const=True,
                    default=False, help="decode with EMA shadow params")
     p.add_argument("--decode_batch_size", type=int, default=1,
                    help=">1: batched enhancement grouped by padded length")

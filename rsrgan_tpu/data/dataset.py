@@ -225,9 +225,21 @@ class HostShardedSequenceBatches:
         self.batcher = batcher
         self.rows = batcher.batch_size // process_count
         self.process_index = process_index
+        if self.num_batches() == 0:
+            raise ValueError(
+                "multi-host run would yield ZERO full global batches "
+                f"(batch {batcher.batch_size} over {process_count} "
+                "processes; ragged batches cannot be row-sharded) — "
+                "reduce --batch_size or use a larger corpus")
 
     def num_batches(self) -> int:
-        return self.batcher.num_batches()
+        # only FULL global batches are row-shardable; ragged ones are
+        # skipped by __iter__, so never count them
+        counts: Dict[int, int] = {}
+        for length in self.batcher._lengths:
+            k = bucket_id(int(length), self.batcher.num_buckets)
+            counts[k] = counts.get(k, 0) + 1
+        return sum(c // self.batcher.batch_size for c in counts.values())
 
     def __iter__(self) -> Iterator[SequenceBatch]:
         b = self.batcher
@@ -254,9 +266,14 @@ class HostShardedFrameBatches:
         self.batcher = batcher
         self.rows = batcher.batch_size // process_count
         self.process_index = process_index
+        if self.num_batches() == 0:
+            raise ValueError(
+                "multi-host run would yield ZERO full global batches — "
+                "reduce --batch_size or use a larger corpus")
 
     def num_batches(self) -> int:
-        return self.batcher.num_batches()
+        # full batches only (__iter__ skips the ragged tail)
+        return self.batcher.num_frames // self.batcher.batch_size
 
     def __iter__(self):
         lo = self.process_index * self.rows

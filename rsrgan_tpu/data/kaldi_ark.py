@@ -276,7 +276,8 @@ class ArkWriter:
             self._arks[ark_path] = ark
         ark.write(utt_id.encode("utf-8") + b" ")
         pos = ark.tell()
-        if compress if compress is not None else self.compress:
+        use_compress = self.compress if compress is None else compress
+        if use_compress:
             ark.write(_encode_compressed(mat))
         else:
             ark.write(b"\0BFM ")

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rsrgan_tpu.ops.pallas_lstm import _round_up, pad_gate_dim
+from rsrgan_tpu.ops.pallas_lstm import _round_up, _vmem_limit, pad_gate_dim
 
 
 def _wavefront_kernel(L, T, residual, save_acts, xw1_ref, mask_ref, x_ref,
@@ -156,7 +156,7 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
     # The Mosaic default scoped-VMEM budget is 16 MB — smaller than the
     # chip's physical VMEM. Large batches (B >= 128 at flagship size) need
     # more; size the limit from the actual block footprint (padded tiles,
-    # double-buffered streams) with headroom for compiler temporaries.
+    # double-buffered streams); _vmem_limit adds the measured headroom.
     wbytes = jnp.dtype(wh.dtype).itemsize
     ps, pl_ = _round_up(P, 8), _round_up(P, 128)
     weights = ((L - 1) * ps * G + L * ps * G) * wbytes \
@@ -165,8 +165,7 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
     outs = 2 * L * (2 * B * pl_ * 4 + B * Up * 4
                     + (B * G * wbytes if save_acts else 0))
     scratch = L * (B * Up + 2 * B * pl_) * 4
-    vmem_limit = max(16, int((weights + stream + outs + scratch)
-                             * 1.25) // 2**20 + 1) * 2**20
+    compiler_params = _vmem_limit(weights, stream, outs, scratch)
 
     grid_spec = pl.GridSpec(
         grid=(S,),
@@ -220,8 +219,7 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
             jax.ShapeDtypeStruct((L, S, B, P), jnp.float32),
         ] + ([jax.ShapeDtypeStruct((L, S, B, G), wh.dtype)] if save_acts
              else []),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit),
+        compiler_params=compiler_params,
     )(xw1, mask_lt, x, wx, wh, proj, bias, wi, wf, wo)
     return outs if save_acts else tuple(outs) + (None,)
 

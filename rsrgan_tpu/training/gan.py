@@ -159,8 +159,9 @@ class GanTrainer:
         d_rl, d_fk = d_both[:b], d_both[b:]
         d_rl_loss, d_fk_loss, d_loss = lsgan_d_losses(
             d_rl, d_fk, hp["d_real"], hp["d_fake"])
-        return d_loss, {"d_rl_loss": d_rl_loss, "d_fk_loss": d_fk_loss,
-                        "d_loss": d_loss}
+        metrics = {"d_rl_loss": d_rl_loss, "d_fk_loss": d_fk_loss,
+                   "d_loss": d_loss}
+        return d_loss, (metrics, d_fk)
 
     def _g_loss_fn(self, g_params, d_params, inputs, labels, lengths, hp,
                    rngs):
@@ -213,7 +214,7 @@ class GanTrainer:
                 dropout_rng = rngs[next(r)]
                 fake = jax.lax.stop_gradient(self._g_apply(
                     state.g.params, inputs, lengths, True, dropout_rng))
-            (_, m), grads = jax.value_and_grad(
+            (_, (m, _)), grads = jax.value_and_grad(
                 self._d_loss_fn, has_aux=True)(
                     state.d.params, fake, inputs, labels, lengths, hp,
                     (rngs[next(r)], rngs[next(r)]))
@@ -279,7 +280,8 @@ class GanTrainer:
         rngs = jax.random.split(rng, 3)
         g_out = jax.lax.stop_gradient(
             self._g_apply(state.g.params, inputs, lengths, True, rngs[0]))
-        (_, m), grads = jax.value_and_grad(self._d_loss_fn, has_aux=True)(
+        (_, (m, _)), grads = jax.value_and_grad(
+            self._d_loss_fn, has_aux=True)(
             state.d.params, g_out, inputs, labels, lengths, hp,
             (rngs[1], rngs[2]))
         state = state.replace(d=state.d.apply_gradients(
@@ -329,11 +331,9 @@ class GanTrainer:
         dropout off)."""
         rngs = jax.random.split(rng, 3)
         g_out = self._g_apply(state.g.params, inputs, lengths, False, None)
-        _, d_m = self._d_loss_fn(state.d.params, g_out, inputs, labels,
-                                 lengths, hp, (rngs[0], rngs[1]),
-                                 train=False)
-        d_fk = self._d_apply(state.d.params, inputs, g_out, lengths,
-                             hp["disc_noise_std"], False, rngs[2])
+        _, (d_m, d_fk) = self._d_loss_fn(state.d.params, g_out, inputs,
+                                         labels, lengths, hp,
+                                         (rngs[0], rngs[1]), train=False)
         adv = lsgan_g_adv_loss(d_fk, hp["d_real"])
         mse = g_mse_loss(g_out, labels, self.output_dim)
         g_loss = adv + hp["mse_lambda"] * mse

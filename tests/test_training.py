@@ -396,3 +396,26 @@ class TestTensorboardEvents:
         assert scalars[(3, "g_loss")] == pytest.approx(1.5)
         assert scalars[(3, "d_loss")] == pytest.approx(-0.25)
         assert scalars[(4, "g_loss")] == pytest.approx(1.25)
+
+
+def test_snapshot_invalidation_on_rollback(tmp_path):
+    """A periodic snapshot of a later-REJECTED trajectory must not win
+    over the accepted checkpoint after the trainer rolled back."""
+    import jax.numpy as jnp2
+    from rsrgan_tpu.cli.train import PeriodicSnapshotter
+    from rsrgan_tpu.training import load_newest_state, \
+        save_periodic_snapshot
+
+    good = {"w": jnp2.ones((2,))}
+    bad = {"w": jnp2.zeros((2,))}
+    save_checkpoint(str(tmp_path), "M", good, 1)
+    import time
+    time.sleep(0.05)
+    save_periodic_snapshot(str(tmp_path), "M", bad)
+    got, src = load_newest_state(str(tmp_path), "M", good)
+    assert src == "periodic"  # pre-rollback: snapshot is newest
+    snapper = PeriodicSnapshotter(str(tmp_path), "M", every_secs=1.0)
+    snapper.invalidate()      # what the reject branch calls
+    got, src = load_newest_state(str(tmp_path), "M", good)
+    assert src == "checkpoint"
+    np.testing.assert_array_equal(np.asarray(got["w"]), np.ones((2,)))
