@@ -553,8 +553,12 @@ def lstm_seq(xw, lengths, w_h, proj, bias, w_i, w_f, w_o,
 
     xw [T,B,4U] f32, lengths [B] or None, w_h [P,4U], proj [U,P],
     bias [4U], peepholes [U]. Returns out [T,B,P] f32. ``compute_dtype``
-    (f32/bf16) sets the matmul operand precision inside the kernel;
-    state, gates and gradients stay f32.
+    (f32/bf16) sets the matmul operand precision inside the kernel AND the
+    storage dtype of the saved gate-activation stream the backward reads;
+    recurrent state and gradient accumulation stay f32. (Under bf16 the
+    saved activations carry bf16 rounding — the same error scale the old
+    gate recomputation had from its bf16 matmul operands; guarded by a
+    bf16-vs-f32 gradient sanity test.)
     """
     T, B, G = xw.shape
     U = G // 4

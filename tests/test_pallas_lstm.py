@@ -83,3 +83,27 @@ def test_accumulator_backward_matches_scan(rng):
     for a, b_ in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=2e-4)
+
+
+def test_bf16_gradients_close_to_f32_scan(rng):
+    """compute_dtype=bf16 stores the saved activations in bf16; gradients
+    must stay within bf16-scale error of the f32 scan cell (guards the
+    production --bf16=true path that the exact-parity tests skip)."""
+    scan_f32 = LstmCellP(num_units=U, num_proj=P, lstm_impl="scan")
+    pal_bf16 = LstmCellP(num_units=U, num_proj=P, lstm_impl="pallas",
+                         compute_dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lens = jnp.array([T, T - 5, 7, T], jnp.int32)
+    params = scan_f32.init(jax.random.PRNGKey(0), x, lens)
+
+    def loss(cell):
+        return lambda p, x: jnp.mean(jnp.sin(cell.apply(p, x, lens)))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_bf = jax.grad(loss(pal_bf16), argnums=(0, 1))(params, x)
+    g_fp = jax.grad(loss(scan_f32), argnums=(0, 1))(params, x)
+    for a, b in zip(jax.tree.leaves(g_bf), jax.tree.leaves(g_fp)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        scale = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() <= 0.05 * scale, (
+            np.abs(a - b).max(), scale)
