@@ -652,7 +652,8 @@ def run_decode(args) -> int:
 
     out_dir = os.path.join(args.save_dir, "test")
     os.makedirs(out_dir, exist_ok=True)
-    writer = ArkWriter(os.path.join(out_dir, "feats.scp"))
+    writer = ArkWriter(os.path.join(out_dir, "feats.scp"),
+                       compress=args.compress)
     ark_path = os.path.join(out_dir, "feats.ark")
 
     if hasattr(state, "g") and args.trainer == "segan":
@@ -788,6 +789,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--keep_lr", type=int, default=3)
     p.add_argument("--decay_factor", type=float, default=0.5)
     # TPU-specific
+    p.add_argument("--compress", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="write decoded feats.ark as Kaldi CompressedMatrix "
+                        "(copy-feats --compress=true equivalent)")
     p.add_argument("--coordinator_address", type=str, default="",
                    help="host:port of process 0; enables multi-host data "
                         "parallelism over DCN (jax.distributed)")

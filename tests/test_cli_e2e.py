@@ -109,6 +109,27 @@ def test_full_pipeline(corpus, tmp_path):
         assert mat.shape[1] == 6
         assert np.isfinite(mat).all()
 
+    # decode again with --compress: BCM arks, near-identical contents
+    save_dir_c = str(tmp_path / "exp_c")
+    import shutil
+    shutil.copytree(save_dir, save_dir_c,
+                    ignore=shutil.ignore_patterns("test"))
+    rc = train_cli.main([
+        "--decode", "--trainer=dnn", "--g_type=dnn", "--compress",
+        f"--data_dir={data_dir}", f"--test_list_file={test_list}",
+        f"--save_dir={save_dir_c}", "--input_dim=16", "--output_dim=6",
+        "--left_context=2", "--right_context=2", "--batch_size=1",
+        "--bf16=false"])
+    assert rc == 0
+    c_reader = ScpReader(os.path.join(save_dir_c, "test", "feats.scp"))
+    with open(os.path.join(save_dir_c, "test", "feats.ark"), "rb") as f:
+        f.seek(c_reader.entries[0][2])
+        assert f.read(5) == b"\0BCM "
+    for (u1, m1), (u2, m2) in zip(reader, c_reader):
+        assert u1 == u2
+        span = max(float(m1.max() - m1.min()), 1e-3)
+        assert np.abs(m1 - m2).max() <= span / 64.0
+
 
 def test_segan_pipeline(corpus, tmp_path):
     """SEGAN trainer end-to-end at toy depth (run_segan.sh parity)."""
