@@ -185,86 +185,119 @@ def _fwd_pallas(xw, mask, w_h, proj, bias, w_i, w_f, w_o,
 # backward kernel
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
+def _bwd_kernel(R, acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
                 w_h_ref, proj_ref, w_i_ref, w_f_ref, w_o_ref,
                 dxw_ref, m_ref, dh_ref,
                 dc_scr, dh_scr):
-    """Reverse-time step. Gate activations [si, tj, sf, so] stream in
-    from the forward (saved, not recomputed — no gates matmul, no xw
-    stream). Emits per-step dgates (dxw), masked m and masked dh_total;
-    ALL weight-gradient reductions happen outside the kernel as single
-    large MXU matmuls (lstm_layer_bwd) — accumulating them per step here
-    costs two extra tiny matmuls on the critical path."""
-    t = pl.program_id(0)          # 0..T-1, walking the sequence in REVERSE
-    T = pl.num_programs(0)
+    """Reverse-time step over an R-row block. Gate activations
+    [si, tj, sf, so] stream in from the forward (saved, not recomputed —
+    no gates matmul, no xw stream). Emits per-step dgates (dxw), masked m
+    and masked dh_total; ALL weight-gradient reductions happen outside
+    the kernel as single large MXU matmuls (lstm_layer_bwd) —
+    accumulating them per step here costs two extra tiny matmuls on the
+    critical path. R rows per grid step amortize the ~2 us per-step
+    pipeline bookkeeping measured on this chip."""
+    b = pl.program_id(0)          # 0..TB-1, walking the blocks in REVERSE
+    TB = pl.num_programs(0)
     Up = dc_scr.shape[1]
 
-    @pl.when(t == 0)
+    @pl.when(b == 0)
     def _():
         dc_scr[:] = jnp.zeros_like(dc_scr)
         dh_scr[:] = jnp.zeros_like(dh_scr)
 
-    first_step = t == T - 1      # sequence position 0
-    c_prev = jnp.where(first_step, 0.0, cprev_ref[0])
-    c_new = c_ref[0]             # post-mask == true c at valid steps
-    keep = mask_ref[0, 0][:, None] > 0
-
     wdt = w_h_ref.dtype
-    acts = acts_ref[0].astype(jnp.float32)
-    si = acts[:, 0 * Up:1 * Up]
-    tj = acts[:, 1 * Up:2 * Up]
-    sf = acts[:, 2 * Up:3 * Up]
-    so = acts[:, 3 * Up:4 * Up]
     w_i = w_i_ref[0]
     w_f = w_f_ref[0]
     w_o = w_o_ref[0]
-    tc = jnp.tanh(c_new)
+    dc = dc_scr[:]
+    dh = dh_scr[:]
+    for r in reversed(range(R)):
+        if r > 0:
+            c_prev = c_ref[r - 1]
+        else:
+            # sequence position 0 lives in the last-visited block (b ==
+            # TB-1); its c_prev is the zero initial state
+            c_prev = jnp.where(b == TB - 1, 0.0, cprev_ref[R - 1])
+        c_new = c_ref[r]          # post-mask == true c at valid steps
+        keep = mask_ref[r, 0][:, None] > 0
 
-    dh_total = dout_ref[0] + dh_scr[:]
-    # h = m @ proj
-    dm = jnp.dot(dh_total.astype(wdt), proj_ref[:].T,
-                 preferred_element_type=jnp.float32)
-    dm = jnp.where(keep, dm, 0.0)
-    do_pre = dm * tc * so * (1.0 - so)
-    dc_total = (dc_scr[:] * jnp.where(keep, 1.0, 0.0)
-                + dm * so * (1.0 - tc * tc) + do_pre * w_o)
-    # NOTE: dc carried into a masked step passes through untouched below.
+        acts = acts_ref[r].astype(jnp.float32)
+        si = acts[:, 0 * Up:1 * Up]
+        tj = acts[:, 1 * Up:2 * Up]
+        sf = acts[:, 2 * Up:3 * Up]
+        so = acts[:, 3 * Up:4 * Up]
+        tc = jnp.tanh(c_new)
 
-    df_pre = dc_total * c_prev * sf * (1.0 - sf)
-    di_pre = dc_total * tj * si * (1.0 - si)
-    dj_pre = dc_total * si * (1.0 - tj * tj)
-    dc_prev = (dc_total * sf + df_pre * w_f + di_pre * w_i)
+        dh_total = dout_ref[r] + dh
+        # h = m @ proj
+        dm = jnp.dot(dh_total.astype(wdt), proj_ref[:].T,
+                     preferred_element_type=jnp.float32)
+        dm = jnp.where(keep, dm, 0.0)
+        do_pre = dm * tc * so * (1.0 - so)
+        dc_total = (dc * jnp.where(keep, 1.0, 0.0)
+                    + dm * so * (1.0 - tc * tc) + do_pre * w_o)
+        # NOTE: dc carried into a masked step passes through untouched.
 
-    dgates = jnp.concatenate([di_pre, dj_pre, df_pre, do_pre], axis=1)
-    dgates = jnp.where(keep, dgates, 0.0)
+        df_pre = dc_total * c_prev * sf * (1.0 - sf)
+        di_pre = dc_total * tj * si * (1.0 - si)
+        dj_pre = dc_total * si * (1.0 - tj * tj)
+        dc_prev = (dc_total * sf + df_pre * w_f + di_pre * w_i)
 
-    dxw_ref[0] = dgates
-    m_ref[0] = jnp.where(keep, so * tc, 0.0)
-    dh_ref[0] = jnp.where(keep, dh_total, 0.0)
+        dgates = jnp.concatenate([di_pre, dj_pre, df_pre, do_pre], axis=1)
+        dgates = jnp.where(keep, dgates, 0.0)
 
-    dh_prev_new = jnp.dot(dgates.astype(wdt), w_h_ref[:].T,
-                          preferred_element_type=jnp.float32)
-    # masked step: carries pass through unchanged
-    dc_scr[:] = jnp.where(keep, dc_prev, dc_scr[:])
-    dh_scr[:] = jnp.where(keep, dh_prev_new, dh_scr[:])
+        dxw_ref[r] = dgates
+        m_ref[r] = jnp.where(keep, so * tc, 0.0)
+        dh_ref[r] = jnp.where(keep, dh_total, 0.0)
+
+        dh_prev_new = jnp.dot(dgates.astype(wdt), w_h_ref[:].T,
+                              preferred_element_type=jnp.float32)
+        # masked step: carries pass through unchanged
+        dc = jnp.where(keep, dc_prev, dc)
+        dh = jnp.where(keep, dh_prev_new, dh)
+    dc_scr[:] = dc
+    dh_scr[:] = dh
+
+
+def bwd_rows_per_step(T, B, Up, P, wbytes, grads_in_kernel=False) -> int:
+    """Largest R in (4, 2, 1) dividing T whose double-buffered streams
+    fit the VMEM budget this chip is known to satisfy."""
+    G = 4 * Up
+    weights, stream_in, scratch = _lstm_block_bytes(B, Up, P, G, wbytes)
+    plane = _round_up(P, 128)
+    out_core = B * G * 4 + B * Up * 4 + B * plane * 4
+    if grads_in_kernel:
+        ps = _round_up(P, 8)
+        out_core += (ps * G + Up * plane + G + 3 * Up) * 4 // 2
+        stream_in += B * plane * 4 + B * Up * 4   # h_cur + h_prev blocks
+    for R in (4, 2, 1):
+        if T % R:
+            continue
+        if (weights + scratch
+                + 2 * R * (stream_in + out_core)) * 1.5 <= 40 * 2**20:
+            return R
+    return 1
 
 
 def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
                 w_i, w_f, w_o):
     G = 4 * Up
-    rev3 = lambda t: (T - 1 - t, 0, 0)
-    # previous-step history: sequence index max(T-2-t, 0); the t==T-1
-    # (seq pos 0) case is zeroed in-kernel.
-    prev3 = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
-    const2 = lambda t: (0, 0)
+    R = bwd_rows_per_step(T, B, Up, P, jnp.dtype(w_h.dtype).itemsize)
+    TB = T // R
+    rev3 = lambda b: (TB - 1 - b, 0, 0)
+    # previous block of history: block index max(TB-2-b, 0); the first
+    # sequence position's zero state is handled in-kernel.
+    prev3 = lambda b: (jnp.maximum(TB - 2 - b, 0), 0, 0)
+    const2 = lambda b: (0, 0)
     grid_spec = pl.GridSpec(
-        grid=(T,),
+        grid=(TB,),
         in_specs=[
-            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # acts
-            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
-            pl.BlockSpec((1, B, P), rev3, memory_space=pltpu.VMEM),   # dout
-            pl.BlockSpec((1, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
-            pl.BlockSpec((1, B, Up), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, B, G), rev3, memory_space=pltpu.VMEM),   # acts
+            pl.BlockSpec((R, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
+            pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # dout
+            pl.BlockSpec((R, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((R, B, Up), prev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
@@ -272,9 +305,9 @@ def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # dxw
-            pl.BlockSpec((1, B, Up), rev3, memory_space=pltpu.VMEM),  # m
-            pl.BlockSpec((1, B, P), rev3, memory_space=pltpu.VMEM),   # dh
+            pl.BlockSpec((R, B, G), rev3, memory_space=pltpu.VMEM),   # dxw
+            pl.BlockSpec((R, B, Up), rev3, memory_space=pltpu.VMEM),  # m
+            pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # dh
         ],
         scratch_shapes=[
             pltpu.VMEM((B, Up), jnp.float32),
@@ -286,15 +319,15 @@ def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
     plane = _round_up(P, 128)
     out_core = B * G * 4 + B * Up * 4 + B * plane * 4
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, R),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, G), jnp.float32),
             jax.ShapeDtypeStruct((T, B, Up), jnp.float32),
             jax.ShapeDtypeStruct((T, B, P), jnp.float32),
         ],
-        compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
-                                    scratch),
+        compiler_params=_vmem_limit(weights, 2 * R * stream_in,
+                                    2 * R * out_core, scratch),
     )(acts, mask, dout, c_hist, c_hist, w_h, proj,
       w_i, w_f, w_o)
 
@@ -307,22 +340,22 @@ def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
 _ACC_BWD_MIN_BATCH = 32
 
 
-def _bwd_kernel_acc(acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
-                    hprev_ref, w_h_ref, proj_ref,
+def _bwd_kernel_acc(R, acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
+                    h_ref, hprev_ref, w_h_ref, proj_ref,
                     w_i_ref, w_f_ref, w_o_ref,
                     dxw_ref, dwh_ref, dproj_ref, dbias_ref,
                     dwi_ref, dwf_ref, dwo_ref,
                     dc_scr, dh_scr):
-    """Reverse-time step with IN-KERNEL weight-gradient accumulation into
-    revisited output blocks — the large-batch variant (see
-    _ACC_BWD_MIN_BATCH). Gate activations stream in from the forward
-    (saved, not recomputed); h(t-1) still streams in for the dW_h
-    accumulation."""
-    t = pl.program_id(0)          # 0..T-1, walking the sequence in REVERSE
-    T = pl.num_programs(0)
+    """Reverse-time step over an R-row block with IN-KERNEL
+    weight-gradient accumulation into revisited output blocks — the
+    large-batch variant (see _ACC_BWD_MIN_BATCH). Gate activations
+    stream in from the forward (saved, not recomputed); h(t-1) still
+    streams in for the dW_h accumulation."""
+    b = pl.program_id(0)          # 0..TB-1, walking the blocks in REVERSE
+    TB = pl.num_programs(0)
     Up = dc_scr.shape[1]
 
-    @pl.when(t == 0)
+    @pl.when(b == 0)
     def _():
         dc_scr[:] = jnp.zeros_like(dc_scr)
         dh_scr[:] = jnp.zeros_like(dh_scr)
@@ -333,78 +366,92 @@ def _bwd_kernel_acc(acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
         dwf_ref[:] = jnp.zeros_like(dwf_ref)
         dwo_ref[:] = jnp.zeros_like(dwo_ref)
 
-    first_step = t == T - 1      # sequence position 0
-    c_prev = jnp.where(first_step, 0.0, cprev_ref[0])
-    h_prev = jnp.where(first_step, 0.0, hprev_ref[0])
-    c_new = c_ref[0]             # post-mask == true c at valid steps
-    keep = mask_ref[0, 0][:, None] > 0
-
     wdt = w_h_ref.dtype
-    acts = acts_ref[0].astype(jnp.float32)
-    si = acts[:, 0 * Up:1 * Up]
-    tj = acts[:, 1 * Up:2 * Up]
-    sf = acts[:, 2 * Up:3 * Up]
-    so = acts[:, 3 * Up:4 * Up]
     w_i = w_i_ref[0]
     w_f = w_f_ref[0]
     w_o = w_o_ref[0]
-    tc = jnp.tanh(c_new)
-    m = so * tc
+    dc = dc_scr[:]
+    dh = dh_scr[:]
+    for r in reversed(range(R)):
+        if r > 0:
+            c_prev = c_ref[r - 1]
+            h_prev = h_ref[r - 1]
+        else:
+            first = b == TB - 1   # sequence position 0: zero initial state
+            c_prev = jnp.where(first, 0.0, cprev_ref[R - 1])
+            h_prev = jnp.where(first, 0.0, hprev_ref[R - 1])
+        c_new = c_ref[r]          # post-mask == true c at valid steps
+        keep = mask_ref[r, 0][:, None] > 0
 
-    dh_total = dout_ref[0] + dh_scr[:]
-    dm = jnp.dot(dh_total.astype(wdt), proj_ref[:].T,
-                 preferred_element_type=jnp.float32)
-    dm = jnp.where(keep, dm, 0.0)
-    do_pre = dm * tc * so * (1.0 - so)
-    dc_total = (dc_scr[:] * jnp.where(keep, 1.0, 0.0)
-                + dm * so * (1.0 - tc * tc) + do_pre * w_o)
+        acts = acts_ref[r].astype(jnp.float32)
+        si = acts[:, 0 * Up:1 * Up]
+        tj = acts[:, 1 * Up:2 * Up]
+        sf = acts[:, 2 * Up:3 * Up]
+        so = acts[:, 3 * Up:4 * Up]
+        tc = jnp.tanh(c_new)
+        m = so * tc
 
-    df_pre = dc_total * c_prev * sf * (1.0 - sf)
-    di_pre = dc_total * tj * si * (1.0 - si)
-    dj_pre = dc_total * si * (1.0 - tj * tj)
-    dc_prev = (dc_total * sf + df_pre * w_f + di_pre * w_i)
+        dh_total = dout_ref[r] + dh
+        dm = jnp.dot(dh_total.astype(wdt), proj_ref[:].T,
+                     preferred_element_type=jnp.float32)
+        dm = jnp.where(keep, dm, 0.0)
+        do_pre = dm * tc * so * (1.0 - so)
+        dc_total = (dc * jnp.where(keep, 1.0, 0.0)
+                    + dm * so * (1.0 - tc * tc) + do_pre * w_o)
 
-    dgates = jnp.concatenate([di_pre, dj_pre, df_pre, do_pre], axis=1)
-    dgates = jnp.where(keep, dgates, 0.0)
+        df_pre = dc_total * c_prev * sf * (1.0 - sf)
+        di_pre = dc_total * tj * si * (1.0 - si)
+        dj_pre = dc_total * si * (1.0 - tj * tj)
+        dc_prev = (dc_total * sf + df_pre * w_f + di_pre * w_i)
 
-    m_masked = jnp.where(keep, m, 0.0)
-    dh_masked = jnp.where(keep, dh_total, 0.0)
+        dgates = jnp.concatenate([di_pre, dj_pre, df_pre, do_pre], axis=1)
+        dgates = jnp.where(keep, dgates, 0.0)
 
-    dxw_ref[0] = dgates
-    dwh_ref[:] += jnp.dot(h_prev.T.astype(wdt), dgates.astype(wdt),
-                          preferred_element_type=jnp.float32)
-    dproj_ref[:] += jnp.dot(m_masked.T.astype(wdt), dh_masked.astype(wdt),
-                            preferred_element_type=jnp.float32)
-    dbias_ref[0] += jnp.sum(dgates, axis=0)
-    dwi_ref[0] += jnp.sum(di_pre * c_prev * jnp.where(keep, 1.0, 0.0),
-                          axis=0)
-    dwf_ref[0] += jnp.sum(df_pre * c_prev * jnp.where(keep, 1.0, 0.0),
-                          axis=0)
-    dwo_ref[0] += jnp.sum(do_pre * c_new * jnp.where(keep, 1.0, 0.0),
-                          axis=0)
+        m_masked = jnp.where(keep, m, 0.0)
+        dh_masked = jnp.where(keep, dh_total, 0.0)
 
-    dh_prev_new = jnp.dot(dgates.astype(wdt), w_h_ref[:].T,
-                          preferred_element_type=jnp.float32)
-    # masked step: carries pass through unchanged
-    dc_scr[:] = jnp.where(keep, dc_prev, dc_scr[:])
-    dh_scr[:] = jnp.where(keep, dh_prev_new, dh_scr[:])
+        dxw_ref[r] = dgates
+        dwh_ref[:] += jnp.dot(h_prev.T.astype(wdt), dgates.astype(wdt),
+                              preferred_element_type=jnp.float32)
+        dproj_ref[:] += jnp.dot(m_masked.T.astype(wdt),
+                                dh_masked.astype(wdt),
+                                preferred_element_type=jnp.float32)
+        dbias_ref[0] += jnp.sum(dgates, axis=0)
+        dwi_ref[0] += jnp.sum(di_pre * c_prev * jnp.where(keep, 1.0, 0.0),
+                              axis=0)
+        dwf_ref[0] += jnp.sum(df_pre * c_prev * jnp.where(keep, 1.0, 0.0),
+                              axis=0)
+        dwo_ref[0] += jnp.sum(do_pre * c_new * jnp.where(keep, 1.0, 0.0),
+                              axis=0)
+
+        dh_prev_new = jnp.dot(dgates.astype(wdt), w_h_ref[:].T,
+                              preferred_element_type=jnp.float32)
+        # masked step: carries pass through unchanged
+        dc = jnp.where(keep, dc_prev, dc)
+        dh = jnp.where(keep, dh_prev_new, dh)
+    dc_scr[:] = dc
+    dh_scr[:] = dh
 
 
 def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
                     proj, w_i, w_f, w_o):
     G = 4 * Up
-    rev3 = lambda t: (T - 1 - t, 0, 0)
-    prev3 = lambda t: (jnp.maximum(T - 2 - t, 0), 0, 0)
-    const2 = lambda t: (0, 0)
+    R = bwd_rows_per_step(T, B, Up, P, jnp.dtype(w_h.dtype).itemsize,
+                          grads_in_kernel=True)
+    TB = T // R
+    rev3 = lambda b: (TB - 1 - b, 0, 0)
+    prev3 = lambda b: (jnp.maximum(TB - 2 - b, 0), 0, 0)
+    const2 = lambda b: (0, 0)
     grid_spec = pl.GridSpec(
-        grid=(T,),
+        grid=(TB,),
         in_specs=[
-            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # acts
-            pl.BlockSpec((1, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
-            pl.BlockSpec((1, B, P), rev3, memory_space=pltpu.VMEM),   # dout
-            pl.BlockSpec((1, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
-            pl.BlockSpec((1, B, Up), prev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, P), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, B, G), rev3, memory_space=pltpu.VMEM),   # acts
+            pl.BlockSpec((R, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
+            pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # dout
+            pl.BlockSpec((R, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((R, B, Up), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # h_t
+            pl.BlockSpec((R, B, P), prev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
@@ -412,7 +459,7 @@ def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, B, G), rev3, memory_space=pltpu.VMEM),   # dxw
+            pl.BlockSpec((R, B, G), rev3, memory_space=pltpu.VMEM),   # dxw
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),    # dW_h
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, G), const2, memory_space=pltpu.VMEM),
@@ -431,7 +478,7 @@ def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
     out_core = B * G * 4                      # dxw stream
     grad_blocks = ps * G * 4 + Up * plane * 4 + (G + 3 * Up) * 4
     return pl.pallas_call(
-        _bwd_kernel_acc,
+        functools.partial(_bwd_kernel_acc, R),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((T, B, G), jnp.float32),
@@ -442,9 +489,10 @@ def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
             jax.ShapeDtypeStruct((1, Up), jnp.float32),
             jax.ShapeDtypeStruct((1, Up), jnp.float32),
         ],
-        compiler_params=_vmem_limit(weights, 2 * stream_in, 2 * out_core,
-                                    grad_blocks, scratch),
-    )(acts, mask, dout, c_hist, c_hist, h_hist, w_h, proj,
+        compiler_params=_vmem_limit(weights, 2 * R * (stream_in
+                                                      + B * plane * 4),
+                                    2 * R * out_core, grad_blocks, scratch),
+    )(acts, mask, dout, c_hist, c_hist, h_hist, h_hist, w_h, proj,
       w_i, w_f, w_o)
 
 

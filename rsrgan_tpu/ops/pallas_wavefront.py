@@ -1,4 +1,4 @@
-"""Wavefront-fused multi-layer LSTM forward for the res_lstm_l stack.
+"""Wavefront-fused multi-layer LSTM forward for res_lstm_l / plain stacks.
 
 The flagship generator runs four LSTM layers with layer residuals
 (in_{k+1} = out_k + in_k, /root/reference/models/res_lstm_l.py:101-194).
@@ -6,24 +6,32 @@ Running them as four separate sequence kernels pays the per-grid-step
 fixed cost four times and round-trips every layer's output through HBM.
 
 This kernel runs ALL layers in one Mosaic program on a software pipeline:
-at grid step s, layer k processes timestep t = s - k (when 0 <= t < T), so
-after a 3-step fill the four layers advance in lockstep. Layer k's input
-at t is tap_{k-1}(t) = out_{k-1}(t) + in_{k-1}(t), produced on the
-previous grid step and handed over through VMEM scratch. Because layer
-inputs are only known in-kernel, layers >= 2 compute their input
-projection in-kernel (one [B, P] x [P, 4Up] matmul each — same FLOPs as
-the hoisted xw, just not batched over T); layer 1 still consumes the
-pre-computed xw stream.
+layer k is skewed k time-blocks behind layer 0, so after a short fill the
+layers advance in lockstep, with layer k's input block handed over from
+layer k-1 through VMEM scratch (it was produced on the previous grid
+step).
 
-Backward reuses the single-layer reverse kernel from pallas_lstm per
-layer: res_lstm_l's closed form in_k = x + sum_{j<k} out_j reconstructs
-each layer's inputs from the saved h_hists, so xw_k is recomputed as one
-big XLA matmul and the gradient chain d(tap_k) runs layer-by-layer in
-plain JAX. See ResLstmWavefront in rsrgan_tpu/models/recurrent.py for the
-module wiring.
+Two measured overheads shape the design (see BENCH_NOTES.md):
 
-Status: forward kernel + reference-parity tests; used by
-``lstm_impl='wavefront'`` on the res_lstm_l generator.
+* per-grid-step pipeline bookkeeping is ~2 us on this chip — large next
+  to the ~1-4 us of real cell math at B=16. Each grid step therefore
+  processes R consecutive timesteps per layer (``rows_per_step``,
+  auto-picked from the VMEM budget), amortizing the fixed cost R-fold.
+* layer predication uses selects, not @pl.when control flow, so all
+  layers' chains live in one basic block (measured a further 4-8%).
+
+Coarsening also upgrades the in-kernel input projections: layer k's
+entire R-row input block is known at step entry, so x@W_x runs as ONE
+[R*B, P] x [P, 4Up] matmul instead of R matmuls at M=B (4x the MXU row
+occupancy at B=16, R=4). Only the truly sequential recurrent and
+projection matmuls remain at M=B.
+
+Backward reuses the per-layer reverse kernel from pallas_lstm walked from
+the top layer down (a fused reverse wavefront measured SLOWER — the
+layer-to-layer gradient handoff needs a K=4Up matmul on the critical
+path; see BENCH_NOTES.md "Negative result").
+
+Used by ``lstm_impl='wavefront'`` via rsrgan_tpu/ops/wavefront_stack.py.
 """
 
 from __future__ import annotations
@@ -36,36 +44,37 @@ from jax.experimental.pallas import tpu as pltpu
 from rsrgan_tpu.ops.pallas_lstm import _round_up, _vmem_limit, pad_gate_dim
 
 
-def _wavefront_kernel(L, T, residual, save_acts, xw1_ref, mask_ref, x_ref,
-                      wx_ref, wh_ref, proj_ref, bias_ref,
+def _wavefront_kernel(L, TB, R, residual, save_acts, xw1_ref, mask_ref,
+                      x_ref, wx_ref, wh_ref, proj_ref, bias_ref,
                       wi_ref, wf_ref, wo_ref,
                       tap_ref, c_hist_ref, h_hist_ref, *rest):
-    if save_acts:
-        acts_ref, c_scr, h_scr, in_scr = rest
-    else:
-        acts_ref, (c_scr, h_scr, in_scr) = None, rest
-    """One grid step of the L-layer wavefront.
+    """One grid step: R consecutive timesteps for each of L skewed layers.
 
-    Refs:
-      xw1_ref   [1, B, G]     layer-1 input projection at t = s
-      mask_ref  [L, 1, B]     mask rows for t = s-k, k = 0..L-1
-      x_ref     [1, B, P]     raw input x(t = s-1) (feeds layer 2's tap)
+    Refs (B batch rows, G = 4*Up gate lanes, P proj lanes):
+      xw1_ref   [R, B, G]     layer-1 input projection, time-block s
+      mask_ref  [L, R, 1, B]  mask rows for block s-k, k = 0..L-1
+      x_ref     [R, B, P]     raw input block s (feeds layer 1's tap)
       wx_ref    [L-1, P, G]   in-kernel input kernels for layers 2..L
       wh_ref    [L, P, G]     recurrent kernels
       proj_ref  [L, Up, P]    projections
       bias_ref  [L, 1, G]     biases (forget_bias folded)
       w*_ref    [L, 1, Up]    peepholes
-    Outputs (written at each layer's wavefront position):
-      tap_ref    [L, 1, B, P]  tap_k(t) = out_k(t) + in_k(t)   (post-mask)
-      c_hist_ref [L, 1, B, Up] post-mask cell state per layer
-      h_hist_ref [L, 1, B, P]  post-mask hidden state per layer
-      acts_ref   [L, 1, B, G]  gate activations [si, tj, sf, so] (saved
-                               for the backward — no gates recompute)
+    Outputs, written at block position s (layer k's timestep t lives at
+    row k*R + t after de-skew):
+      tap_ref    [L, R, B, P]  tap_k(t) (post-mask)
+      c_hist_ref [L, R, B, Up] post-mask cell state
+      h_hist_ref [L, R, B, P]  post-mask hidden state
+      acts_ref   [L, R, B, G]  gate activations [si, tj, sf, so]
     Scratch:
       c_scr [L, B, Up], h_scr [L, B, P] — recurrent states
-      in_scr [L, B, P] — in_k(t) handoff: slot k holds the input the layer
-      k+1 will consume on the NEXT grid step (= tap_k(t)); slot 0 unused.
+      in_scr [L, R, B, P] — input-block handoff: slot k holds the block
+      layer k consumes THIS grid step (written by layer k-1 on the
+      previous one); slot 0 unused.
     """
+    if save_acts:
+        acts_ref, c_scr, h_scr, in_scr = rest
+    else:
+        acts_ref, (c_scr, h_scr, in_scr) = None, rest
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -74,24 +83,35 @@ def _wavefront_kernel(L, T, residual, save_acts, xw1_ref, mask_ref, x_ref,
         h_scr[...] = jnp.zeros_like(h_scr)
         in_scr[...] = jnp.zeros_like(in_scr)
 
-    # reverse order: layer k+1 must read its handoff slot (written by
-    # layer k on the PREVIOUS grid step) before layer k overwrites it
-    for k in reversed(range(L)):
-        t = s - k
+    wdt = wh_ref.dtype
+    B = c_scr.shape[1]
+    P = h_scr.shape[-1]
 
-        @pl.when(jnp.logical_and(t >= 0, t < T))
-        def _(k=k, t=t):
-            wdt = wh_ref.dtype
-            if k == 0:
-                xw_t = xw1_ref[0]
-                in_k = x_ref[0]  # x(t) — only needed to form tap_0
-            else:
-                in_k = in_scr[k]
-                xw_t = jnp.dot(in_k.astype(wdt), wx_ref[k - 1],
-                               preferred_element_type=jnp.float32)
-            c_prev = c_scr[k]
-            h_prev = h_scr[k]
-            gates = (xw_t
+    # Phase 1: whole-block reads + batched input projections (independent
+    # across layers; every input row is known at step entry).
+    valid = [jnp.logical_and(s - k >= 0, s - k < TB) for k in range(L)]
+    ins, xw_blk = [], []
+    for k in range(L):
+        if k == 0:
+            in_blk = x_ref[...]                      # [R, B, P]
+            xw = xw1_ref[...].reshape(R * B, -1)
+        else:
+            in_blk = in_scr[k]
+            xw = jnp.dot(in_blk.reshape(R * B, P).astype(wdt),
+                         wx_ref[k - 1],
+                         preferred_element_type=jnp.float32)
+        ins.append(in_blk)
+        xw_blk.append(xw)
+
+    # Phase 2: the sequential cell math, R rows x L layers in one basic
+    # block (select-predicated) so the layers' chains interleave.
+    c_st = [c_scr[k] for k in range(L)]
+    h_st = [h_scr[k] for k in range(L)]
+    for r in range(R):
+        for k in reversed(range(L)):
+            c_prev = c_st[k]
+            h_prev = h_st[k]
+            gates = (xw_blk[k][r * B:(r + 1) * B]
                      + jnp.dot(h_prev.astype(wdt), wh_ref[k],
                                preferred_element_type=jnp.float32)
                      + bias_ref[k, 0])
@@ -100,132 +120,167 @@ def _wavefront_kernel(L, T, residual, save_acts, xw1_ref, mask_ref, x_ref,
             j = gates[:, 1 * Up:2 * Up]
             f = gates[:, 2 * Up:3 * Up]
             o = gates[:, 3 * Up:4 * Up]
-            w_i = wi_ref[k, 0]
-            w_f = wf_ref[k, 0]
-            w_o = wo_ref[k, 0]
-            si = jax.nn.sigmoid(i + w_i * c_prev)
-            sf = jax.nn.sigmoid(f + w_f * c_prev)
+            si = jax.nn.sigmoid(i + wi_ref[k, 0] * c_prev)
+            sf = jax.nn.sigmoid(f + wf_ref[k, 0] * c_prev)
             tj = jnp.tanh(j)
             c_new = sf * c_prev + si * tj
-            so = jax.nn.sigmoid(o + w_o * c_new)
+            so = jax.nn.sigmoid(o + wo_ref[k, 0] * c_new)
             m = so * jnp.tanh(c_new)
             h_new = jnp.dot(m.astype(wdt), proj_ref[k],
                             preferred_element_type=jnp.float32)
 
-            keep = mask_ref[k, 0, 0][:, None] > 0
-            c_keep = jnp.where(keep, c_new, c_prev)
-            h_keep = jnp.where(keep, h_new, h_prev)
-            c_scr[k] = c_keep
-            h_scr[k] = h_keep
-            out = jnp.where(keep, h_new, 0.0)
+            live = jnp.logical_and(valid[k],
+                                   mask_ref[k, r, 0][:, None] > 0)
+            c_st[k] = jnp.where(live, c_new, c_prev)
+            h_st[k] = jnp.where(live, h_new, h_prev)
+            out = jnp.where(live, h_new, 0.0)
             # residual (res_lstm_l): tap_k = out_k + in_k; plain stack
             # (MultiRNNCell): the next layer consumes out_k directly
-            tap = out + in_k if residual else out
+            tap = out + ins[k][r] if residual else out
             if k + 1 < L:
-                in_scr[k + 1] = tap
-            tap_ref[k, 0] = tap
-            c_hist_ref[k, 0] = c_keep
-            h_hist_ref[k, 0] = h_keep
+                # keep the slot stale outside the wavefront so layer k+1
+                # reads zeros during its own fill steps
+                in_scr[k + 1, r] = jnp.where(valid[k], tap,
+                                             in_scr[k + 1, r])
+            tap_ref[k, r] = tap
+            c_hist_ref[k, r] = c_st[k]
+            h_hist_ref[k, r] = h_st[k]
             if save_acts:
-                acts_ref[k, 0] = jnp.concatenate(
+                acts_ref[k, r] = jnp.concatenate(
                     [si, tj, sf, so], axis=1).astype(acts_ref.dtype)
+    for k in range(L):
+        c_scr[k] = c_st[k]
+        h_scr[k] = h_st[k]
+
+
+def wavefront_rows_per_step(T: int, B: int, G: int, P: int, L: int,
+                            wbytes: int, save_acts: bool) -> int:
+    """Largest R in (4, 2, 1) that divides T and keeps the estimated
+    VMEM footprint (weights + R-scaled double-buffered streams) within
+    the budget this chip is known to satisfy (BENCH_NOTES.md)."""
+    Up = G // 4
+    ps, pl_ = _round_up(P, 8), _round_up(P, 128)
+    weights = ((L - 1) * ps * G + L * ps * G) * wbytes \
+        + L * Up * pl_ * wbytes + L * (G + 3 * Up) * 4
+    for R in (4, 2, 1):
+        if T % R:
+            continue
+        stream = 2 * R * (B * G * 4 + B * pl_ * 4)
+        outs = 2 * L * R * (2 * B * pl_ * 4 + B * Up * 4
+                            + (B * G * wbytes if save_acts else 0))
+        scratch = L * (B * Up + (2 + R) * B * pl_) * 4
+        if (weights + stream + outs + scratch) * 1.5 <= 40 * 2**20:
+            return R
+    return 1
 
 
 def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
-                       wi, wf, wo, residual=True, save_acts=True):
+                       wi, wf, wo, residual=True, save_acts=True,
+                       rows_per_step=None):
     """Launch the wavefront forward.
 
-    xw1 [T, B, G] layer-1 projection; mask_lt [L, T+L, 1, B] per-layer
-    shifted masks (mask_lt[k, s] = mask(t=s-k), zero outside);
-    x [T+1, B, P] raw inputs padded with a leading zero row is NOT needed —
-    x here is [T, B, P] and indexed at t=s (same position as layer 1).
-    Weight stacks: wx [L-1, P, G], wh [L, P, G], proj [L, Up, P],
-    bias [L, 1, G], peepholes [L, 1, Up].
+    xw1 [T, B, G] layer-1 projection; x [T, B, P] raw inputs;
+    mask_lt [L, (TB+L-1)*R, 1, B] per-layer block-shifted masks
+    (mask_lt[k, k*R + t, 0] = mask(t), zero elsewhere) — build with
+    ``make_wavefront_mask``. Weight stacks: wx [L-1, P, G], wh [L, P, G],
+    proj [L, Up, P], bias [L, 1, G], peepholes [L, 1, Up].
 
-    Returns (taps [L, T, B, P], c_hist [L, T, B, Up], h_hist [L, T, B, P],
-    acts [L, T, B, G]) — each [k] only valid at wavefront-consistent
-    positions; taps[L-1] is the generator tap, taps[:L-1] equal the
-    inputs of the next layer; acts are the saved gate activations.
+    Returns (taps, c_hist, h_hist, acts), each [L, (TB+L-1)*R, B, *]:
+    layer k's timestep t lives at row k*R + t (slice [k, k*R:k*R+T]).
+    ``rows_per_step`` (R) must divide T; default auto-picks from the
+    VMEM budget.
     """
     T, B, G = xw1.shape
     L = wh.shape[0]
     Up = G // 4
     P = proj.shape[2]
-    S = T + L - 1
-
-    # The Mosaic default scoped-VMEM budget is 16 MB — smaller than the
-    # chip's physical VMEM. Large batches (B >= 128 at flagship size) need
-    # more; size the limit from the actual block footprint (padded tiles,
-    # double-buffered streams); _vmem_limit adds the measured headroom.
     wbytes = jnp.dtype(wh.dtype).itemsize
+    R = rows_per_step or wavefront_rows_per_step(T, B, G, P, L, wbytes,
+                                                 save_acts)
+    assert T % R == 0, (T, R)
+    TB = T // R
+    S = TB + L - 1
+    assert mask_lt.shape == (L, S * R, 1, B), mask_lt.shape
+
     ps, pl_ = _round_up(P, 8), _round_up(P, 128)
     weights = ((L - 1) * ps * G + L * ps * G) * wbytes \
         + L * Up * pl_ * wbytes + L * (G + 3 * Up) * 4
-    stream = 2 * (B * G * 4 + B * pl_ * 4)                      # xw1, x
-    outs = 2 * L * (2 * B * pl_ * 4 + B * Up * 4
-                    + (B * G * wbytes if save_acts else 0))
-    scratch = L * (B * Up + 2 * B * pl_) * 4
+    stream = 2 * R * (B * G * 4 + B * pl_ * 4)
+    outs = 2 * L * R * (2 * B * pl_ * 4 + B * Up * 4
+                        + (B * G * wbytes if save_acts else 0))
+    scratch = L * (B * Up + (2 + R) * B * pl_) * 4
     compiler_params = _vmem_limit(weights, stream, outs, scratch)
 
+    blk = lambda s_: (jnp.minimum(s_, TB - 1), 0, 0)
     grid_spec = pl.GridSpec(
         grid=(S,),
         in_specs=[
-            # clamp the index so the block stays in-range during fill/drain;
-            # the kernel predicates on 0 <= t < T itself.
-            pl.BlockSpec((1, B, G), lambda s: (jnp.minimum(s, T - 1), 0, 0),
+            # clamp the block index in-range during fill/drain; the
+            # kernel predicates on the wavefront validity itself.
+            pl.BlockSpec((R, B, G), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, R, 1, B), lambda s_: (0, s_, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, 1, B), lambda s: (0, s, 0, 0),
+            pl.BlockSpec((R, B, P), blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((L - 1, P, G), lambda s_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, P), lambda s: (jnp.minimum(s, T - 1), 0, 0),
+            pl.BlockSpec((L, P, G), lambda s_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L - 1, P, G), lambda s: (0, 0, 0),
+            pl.BlockSpec((L, Up, P), lambda s_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, P, G), lambda s: (0, 0, 0),
+            pl.BlockSpec((L, 1, G), lambda s_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, Up, P), lambda s: (0, 0, 0),
+            pl.BlockSpec((L, 1, Up), lambda s_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, G), lambda s: (0, 0, 0),
+            pl.BlockSpec((L, 1, Up), lambda s_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, Up), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, Up), lambda s: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, Up), lambda s: (0, 0, 0),
+            pl.BlockSpec((L, 1, Up), lambda s_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((L, 1, B, P), _wave_out_map(L, T),
+            pl.BlockSpec((L, R, B, P), _wave_out_map(L, TB),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, B, Up), _wave_out_map(L, T),
+            pl.BlockSpec((L, R, B, Up), _wave_out_map(L, TB),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, B, P), _wave_out_map(L, T),
+            pl.BlockSpec((L, R, B, P), _wave_out_map(L, TB),
                          memory_space=pltpu.VMEM),
-        ] + ([pl.BlockSpec((L, 1, B, G), _wave_out_map(L, T),
+        ] + ([pl.BlockSpec((L, R, B, G), _wave_out_map(L, TB),
                            memory_space=pltpu.VMEM)] if save_acts else []),
         scratch_shapes=[
             pltpu.VMEM((L, B, Up), jnp.float32),
             pltpu.VMEM((L, B, P), jnp.float32),
-            pltpu.VMEM((L, B, P), jnp.float32),
+            pltpu.VMEM((L, R, B, P), jnp.float32),
         ],
     )
-    kernel = lambda *refs: _wavefront_kernel(L, T, residual, save_acts,
+    kernel = lambda *refs: _wavefront_kernel(L, TB, R, residual, save_acts,
                                              *refs)
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((L, S, B, P), jnp.float32),
-            jax.ShapeDtypeStruct((L, S, B, Up), jnp.float32),
-            jax.ShapeDtypeStruct((L, S, B, P), jnp.float32),
-        ] + ([jax.ShapeDtypeStruct((L, S, B, G), wh.dtype)] if save_acts
-             else []),
+            jax.ShapeDtypeStruct((L, S * R, B, P), jnp.float32),
+            jax.ShapeDtypeStruct((L, S * R, B, Up), jnp.float32),
+            jax.ShapeDtypeStruct((L, S * R, B, P), jnp.float32),
+        ] + ([jax.ShapeDtypeStruct((L, S * R, B, G), wh.dtype)]
+             if save_acts else []),
         compiler_params=compiler_params,
     )(xw1, mask_lt, x, wx, wh, proj, bias, wi, wf, wo)
-    return outs if save_acts else tuple(outs) + (None,)
+    return (outs if save_acts else tuple(outs) + (None,)) + (R,)
 
 
-def _wave_out_map(L, T):
-    # Outputs are indexed by grid position s; layer k's row for timestep t
-    # lives at [k, s] with t = s - k. The caller slices
-    # taps[k, k:k+T] to recover time-major data.
-    return lambda s: (0, s, 0, 0)
+def make_wavefront_mask(mask_tb, L: int, R: int) -> jnp.ndarray:
+    """Block-shifted per-layer masks: [T, B] -> [L, (T//R+L-1)*R, 1, B]
+    with mask_lt[k, k*R:k*R+T, 0] = mask (the dummy dim keeps the R
+    rows out of the block's last-two-dims tiling constraint)."""
+    T, B = mask_tb.shape
+    S = T // R + L - 1
+    mask_lt = jnp.zeros((L, S * R, 1, B), mask_tb.dtype)
+    for k in range(L):
+        mask_lt = mask_lt.at[k, k * R:k * R + T, 0].set(mask_tb)
+    return mask_lt
+
+
+def _wave_out_map(L, TB):
+    # Outputs are indexed by grid position s (in R-row blocks); layer k's
+    # timestep t lives at row k*R + t after the caller's de-skew slice
+    # taps[k, k*R : k*R + T].
+    return lambda s_: (0, s_, 0, 0)

@@ -17,7 +17,9 @@ import jax.numpy as jnp
 
 from rsrgan_tpu.ops.pallas_lstm import (_round_up, lstm_layer_bwd,
                                         pad_gate_dim)
-from rsrgan_tpu.ops.pallas_wavefront import lstm_wavefront_fwd
+from rsrgan_tpu.ops.pallas_wavefront import (lstm_wavefront_fwd,
+                                             make_wavefront_mask,
+                                             wavefront_rows_per_step)
 
 
 def _prep(params_list, D, forget_bias):
@@ -117,21 +119,21 @@ def _stack_fwd_impl(static, x, mask, flat_params, save_acts=True):
     assert P == P_in, "res_lstm_l requires num_proj == input dim"
 
     xw1 = jnp.einsum("tbd,dg->tbg", x, wx[0])
-    S = T + L - 1
-    mask_lt = jnp.zeros((L, S, 1, B), jnp.float32)
-    for k in range(L):
-        mask_lt = mask_lt.at[k, k:k + T, 0].set(mask)
+    R = wavefront_rows_per_step(T, B, 4 * Up, P, L,
+                                jnp.dtype(cdt).itemsize, save_acts)
+    mask_lt = make_wavefront_mask(mask, L, R)
 
-    taps_s, c_s, h_s, a_s = lstm_wavefront_fwd(
+    taps_s, c_s, h_s, a_s, R = lstm_wavefront_fwd(
         xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo,
-        residual=residual, save_acts=save_acts)
-    # de-skew: layer k's timestep t lives at grid position s = t + k
+        residual=residual, save_acts=save_acts, rows_per_step=R)
+    # de-skew: layer k's timestep t lives at row k*R + t
     if not save_acts:
-        return taps_s[L - 1, L - 1:L - 1 + T], None
-    taps = jnp.stack([taps_s[k, k:k + T] for k in range(L)])
-    c_hist = jnp.stack([c_s[k, k:k + T] for k in range(L)])
-    h_hist = jnp.stack([h_s[k, k:k + T] for k in range(L)])
-    acts = jnp.stack([a_s[k, k:k + T] for k in range(L)])
+        k0 = (L - 1) * R
+        return taps_s[L - 1, k0:k0 + T], None
+    taps = jnp.stack([taps_s[k, k * R:k * R + T] for k in range(L)])
+    c_hist = jnp.stack([c_s[k, k * R:k * R + T] for k in range(L)])
+    h_hist = jnp.stack([h_s[k, k * R:k * R + T] for k in range(L)])
+    acts = jnp.stack([a_s[k, k * R:k * R + T] for k in range(L)])
     residuals = (x, mask, flat_params, taps, c_hist, h_hist, acts)
     return taps[L - 1], residuals
 

@@ -107,3 +107,31 @@ def test_bf16_gradients_close_to_f32_scan(rng):
         scale = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() <= 0.05 * scale, (
             np.abs(a - b).max(), scale)
+
+
+def test_coarsened_reverse_blocks_match_scan(rng):
+    """T divisible by 4 selects the R=4 reverse grid in both backward
+    variants (streamed at B=4, in-kernel accumulator at the threshold
+    batch); gradients must still match the scan cell."""
+    from rsrgan_tpu.ops.pallas_lstm import _ACC_BWD_MIN_BATCH
+
+    scan_cell = LstmCellP(num_units=U, num_proj=P, lstm_impl="scan")
+    pal_cell = LstmCellP(num_units=U, num_proj=P, lstm_impl="pallas")
+    for b, t in ((B, 24), (_ACC_BWD_MIN_BATCH, 12)):
+        x = jnp.asarray(rng.normal(size=(b, t, D)), jnp.float32)
+        lens = jnp.asarray(rng.integers(3, t + 1, size=(b,)), jnp.int32)
+        params = scan_cell.init(jax.random.PRNGKey(0), x, lens)
+
+        def loss(cell):
+            return lambda p, x: jnp.sum(jnp.sin(cell.apply(p, x, lens)))
+
+        with pltpu.force_tpu_interpret_mode():
+            o_pal = pal_cell.apply(params, x, lens)
+            g_pal = jax.grad(loss(pal_cell), argnums=(0, 1))(params, x)
+        o_scan = scan_cell.apply(params, x, lens)
+        g_scan = jax.grad(loss(scan_cell), argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(o_pal), np.asarray(o_scan),
+                                   atol=1e-5)
+        for a, g in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(g),
+                                       atol=2e-4)

@@ -72,8 +72,8 @@ def test_plain_stack_wavefront_matches_scan(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
-def test_odd_layer_stack_mixes_pair_and_single(rng):
-    """L=3 walks one reverse pair + the per-layer fallback for layer 0."""
+def test_odd_layer_stack(rng):
+    """L=3 exercises the non-flagship layer count end to end."""
     from rsrgan_tpu.ops.lstm import StackedLstm
 
     B3, T3, P3 = 2, 13, 5
@@ -95,4 +95,31 @@ def test_odd_layer_stack_mixes_pair_and_single(rng):
     gs = jax.grad(loss(scan_m), argnums=(0, 1))(params, x)
     np.testing.assert_allclose(np.asarray(ow), np.asarray(os_), atol=1e-5)
     for a, b in zip(jax.tree.leaves(gw), jax.tree.leaves(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_wavefront_coarsened_rows_match_scan(rng):
+    """T divisible by 4 selects the R=4 coarsened grid (R consecutive
+    timesteps per grid step); parity must hold incl. ragged lengths that
+    end mid-block."""
+    T4 = 16
+    x = jnp.asarray(rng.normal(size=(B, T4, D)), jnp.float32)
+    lens = jnp.array([T4, 11, 5], jnp.int32)  # ends at rows 3, 2, 0 of blocks
+    scan_gen = ResLstmGenerator(output_dim=OUT, variant="l", cell_size=13,
+                                lstm_impl="scan")
+    wave_gen = ResLstmGenerator(output_dim=OUT, variant="l", cell_size=13,
+                                lstm_impl="wavefront")
+    params = scan_gen.init(jax.random.PRNGKey(0), x, lens)
+
+    def loss(gen):
+        return lambda p, x: jnp.sum(jnp.sin(gen.apply(p, x, lens, True)))
+
+    with pltpu.force_tpu_interpret_mode():
+        o_wave = wave_gen.apply(params, x, lens)
+        g_wave = jax.grad(loss(wave_gen), argnums=(0, 1))(params, x)
+    o_scan = scan_gen.apply(params, x, lens)
+    g_scan = jax.grad(loss(scan_gen), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(o_wave), np.asarray(o_scan),
+                               atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g_wave), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)

@@ -178,7 +178,12 @@ def merged_fwd(xw1, mask_lt, x, wx, wh, proj, bias, wi, wf, wo,
 
 
 def main():
-    B, T, K = 16, 500, 20
+    cfg = sys.argv[1] if len(sys.argv) > 1 else "g"
+    if cfg == "g":
+        B, T, L, D, U, P, residual = 16, 500, 4, 257, 760, 257, True
+    else:  # discriminator stack at the stacked-2B D-step width
+        B, T, L, D, U, P, residual = 32, 500, 2, 40, 256, 40, False
+    K = 20
     cache_dir = os.path.expanduser("~/.cache/rsrgan_xla")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
@@ -186,8 +191,6 @@ def main():
 
     rng = np.random.default_rng(0)
     from rsrgan_tpu.ops.wavefront_stack import _prep
-
-    L, D, U, P = 4, 257, 760, 257
     params = []
     for _ in range(L):
         params.append({
@@ -202,12 +205,12 @@ def main():
         })
         D = P
 
-    wx, wh, bias, proj, wi, wf, wo, Up, _ = _prep(params, 257, 1.0)
+    wx, wh, bias, proj, wi, wf, wo, Up, _ = _prep(params, P, 1.0)
     wx = wx.astype(jnp.bfloat16)
     wh = wh.astype(jnp.bfloat16)
     proj = proj.astype(jnp.bfloat16)
 
-    x = jnp.asarray(rng.normal(size=(T, B, 257)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(T, B, P)), jnp.float32)
     lengths = jnp.full((B,), T, jnp.int32)
     mask = (jnp.arange(T)[:, None] < lengths[None, :]).astype(jnp.float32)
     S = T + L - 1
@@ -220,7 +223,7 @@ def main():
     def run(fwd_fn):
         def f():
             taps, _, _, _ = fwd_fn(xw1, mask_lt, x, wx[1:], wh, proj, bias,
-                                   wi, wf, wo, residual=True, save_acts=True)
+                                   wi, wf, wo, residual=residual, save_acts=True)
             return taps[L - 1, L - 1:L - 1 + T]
 
         def body(c, _):
@@ -235,9 +238,9 @@ def main():
 
     # numeric parity first
     t0, _, _, _ = pw.lstm_wavefront_fwd(xw1, mask_lt, x, wx[1:], wh, proj,
-                                        bias, wi, wf, wo)
+                                        bias, wi, wf, wo, residual=residual)
     t1, _, _, _ = merged_fwd(xw1, mask_lt, x, wx[1:], wh, proj, bias,
-                             wi, wf, wo)
+                             wi, wf, wo, residual=residual)
     a = np.asarray(t0[L - 1, L - 1:L - 1 + T])
     b = np.asarray(t1[L - 1, L - 1:L - 1 + T])
     print("max |diff| =", np.abs(a - b).max(), flush=True)
