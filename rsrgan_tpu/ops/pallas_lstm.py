@@ -33,6 +33,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+# Rows-per-step budget: a 71 MB vmem_limit compiled and ran on this chip
+# (B=64 R=4 wavefront probe, tools/exp_vmem_probe.py), so usable VMEM is
+# well above Mosaic's 16 MB default; 72 MB keeps headroom below that
+# proven point.
+_VMEM_CAP = 72 * 2**20
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -247,9 +254,9 @@ def _bwd_kernel(R, acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
         dgates = jnp.concatenate([di_pre, dj_pre, df_pre, do_pre], axis=1)
         dgates = jnp.where(keep, dgates, 0.0)
 
-        dxw_ref[r] = dgates
-        m_ref[r] = jnp.where(keep, so * tc, 0.0)
-        dh_ref[r] = jnp.where(keep, dh_total, 0.0)
+        dxw_ref[r] = dgates.astype(dxw_ref.dtype)
+        m_ref[r] = jnp.where(keep, so * tc, 0.0).astype(m_ref.dtype)
+        dh_ref[r] = jnp.where(keep, dh_total, 0.0).astype(dh_ref.dtype)
 
         dh_prev_new = jnp.dot(dgates.astype(wdt), w_h_ref[:].T,
                               preferred_element_type=jnp.float32)
@@ -275,7 +282,7 @@ def bwd_rows_per_step(T, B, Up, P, wbytes, grads_in_kernel=False) -> int:
         if T % R:
             continue
         if (weights + scratch
-                + 2 * R * (stream_in + out_core)) * 1.5 <= 40 * 2**20:
+                + 2 * R * (stream_in + out_core)) * 1.5 <= _VMEM_CAP:
             return R
     return 1
 
@@ -322,9 +329,11 @@ def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
         functools.partial(_bwd_kernel, R),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, Up), jnp.float32),
-            jax.ShapeDtypeStruct((T, B, P), jnp.float32),
+            # streams carry the compute dtype: every consumer is either a
+            # bf16-operand matmul already or an f32-accumulated reduction
+            jax.ShapeDtypeStruct((T, B, G), w_h.dtype),
+            jax.ShapeDtypeStruct((T, B, Up), w_h.dtype),
+            jax.ShapeDtypeStruct((T, B, P), w_h.dtype),
         ],
         compiler_params=_vmem_limit(weights, 2 * R * stream_in,
                                     2 * R * out_core, scratch),
@@ -410,7 +419,7 @@ def _bwd_kernel_acc(R, acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
         m_masked = jnp.where(keep, m, 0.0)
         dh_masked = jnp.where(keep, dh_total, 0.0)
 
-        dxw_ref[r] = dgates
+        dxw_ref[r] = dgates.astype(dxw_ref.dtype)
         dwh_ref[:] += jnp.dot(h_prev.T.astype(wdt), dgates.astype(wdt),
                               preferred_element_type=jnp.float32)
         dproj_ref[:] += jnp.dot(m_masked.T.astype(wdt),
@@ -481,7 +490,9 @@ def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
         functools.partial(_bwd_kernel_acc, R),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, G), jnp.float32),
+            # dxw carries the compute dtype (consumers are bf16-operand
+            # matmuls / f32-accumulated reductions); weight grads stay f32
+            jax.ShapeDtypeStruct((T, B, G), w_h.dtype),
             jax.ShapeDtypeStruct((P, G), jnp.float32),
             jax.ShapeDtypeStruct((Up, P), jnp.float32),
             jax.ShapeDtypeStruct((1, G), jnp.float32),
@@ -505,15 +516,18 @@ def lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist):
     zero_c = jnp.zeros((1,) + c_hist.shape[1:], c_hist.dtype)
     c_prev_seq = jnp.concatenate([zero_c, c_hist[:-1]], axis=0)
 
-    dwh = jnp.einsum("tbp,tbg->pg", h_prev_seq, dxw)
-    dproj = jnp.einsum("tbu,tbp->up", m_m, dh_m)
-    dbias = jnp.sum(dxw, axis=(0, 1))[None]
+    f32 = jnp.float32
+    dwh = jnp.einsum("tbp,tbg->pg", h_prev_seq, dxw,
+                     preferred_element_type=f32)
+    dproj = jnp.einsum("tbu,tbp->up", m_m, dh_m,
+                       preferred_element_type=f32)
+    dbias = jnp.sum(dxw, axis=(0, 1), dtype=f32)[None]
     di = dxw[..., 0 * Up:1 * Up]
     df = dxw[..., 2 * Up:3 * Up]
     do = dxw[..., 3 * Up:4 * Up]
-    dwi = jnp.sum(di * c_prev_seq, axis=(0, 1))[None]
-    dwf = jnp.sum(df * c_prev_seq, axis=(0, 1))[None]
-    dwo = jnp.sum(do * c_hist, axis=(0, 1))[None]
+    dwi = jnp.sum(di * c_prev_seq, axis=(0, 1), dtype=f32)[None]
+    dwf = jnp.sum(df * c_prev_seq, axis=(0, 1), dtype=f32)[None]
+    dwo = jnp.sum(do * c_hist, axis=(0, 1), dtype=f32)[None]
     return dwh, dproj, dbias, dwi, dwf, dwo
 
 
@@ -573,8 +587,8 @@ def _lstm_seq_bwd(res, dout):
     dxw, dwh, dproj, dbias, dwi, dwf, dwo = lstm_layer_bwd(
         T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h, proj,
         w_i, w_f, w_o)
-    return (dxw, None, dwh.astype(w_h.dtype), dproj.astype(proj.dtype),
-            dbias, dwi, dwf, dwo)
+    return (dxw.astype(jnp.float32), None, dwh.astype(w_h.dtype),
+            dproj.astype(proj.dtype), dbias, dwi, dwf, dwo)
 
 
 lstm_seq_pallas.defvjp(_lstm_seq_fwd, _lstm_seq_bwd)

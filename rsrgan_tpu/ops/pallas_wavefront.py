@@ -41,7 +41,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rsrgan_tpu.ops.pallas_lstm import _round_up, _vmem_limit, pad_gate_dim
+from rsrgan_tpu.ops.pallas_lstm import (_VMEM_CAP, _round_up,
+                                        _vmem_limit, pad_gate_dim)
 
 
 def _wavefront_kernel(L, TB, R, residual, save_acts, xw1_ref, mask_ref,
@@ -169,7 +170,7 @@ def wavefront_rows_per_step(T: int, B: int, G: int, P: int, L: int,
         outs = 2 * L * R * (2 * B * pl_ * 4 + B * Up * 4
                             + (B * G * wbytes if save_acts else 0))
         scratch = L * (B * Up + (2 + R) * B * pl_) * 4
-        if (weights + stream + outs + scratch) * 1.5 <= 40 * 2**20:
+        if (weights + stream + outs + scratch) * 1.5 <= _VMEM_CAP:
             return R
     return 1
 

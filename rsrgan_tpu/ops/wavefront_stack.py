@@ -175,7 +175,9 @@ def _stack_bwd(static, residuals, dtap_top):
             wh[k], proj[k], wi[k], wf[k], wo[k])
         din_k = din_k + jnp.einsum("tbg,dg->tbd", dxw.astype(cdt), wx[k],
                                    preferred_element_type=jnp.float32)
-        dwx = jnp.einsum("tbd,tbg->dg", ins[k], dxw)
+        dwx = jnp.einsum("tbd,tbg->dg", ins[k].astype(cdt),
+                         dxw.astype(cdt),
+                         preferred_element_type=jnp.float32)
         dparams.append((dwx, dwh, dproj, dbias, dwi, dwf, dwo))
         dtap = din_k  # = d(tap_{k-1}) for k>=1; = dx for k==0
     dx = dtap

@@ -55,21 +55,25 @@ def main():
     mask_lt = make_wavefront_mask(mask, L, R)
     xw1 = jnp.einsum("tbd,dg->tbg", x, wx[0])
 
-    def f():
-        taps = lstm_wavefront_fwd(xw1, mask_lt, x, wx[1:], wh, proj, bias,
-                                  wi, wf, wo, residual=True,
-                                  save_acts=True, rows_per_step=R)[0]
-        return taps[L - 1, (L - 1) * R:(L - 1) * R + T]
+    @jax.jit
+    def g(xw1, mask_lt, x, wx, wh, proj, bias, wi, wf, wo):
+        def f(c):
+            taps = lstm_wavefront_fwd(xw1 + c, mask_lt, x, wx, wh, proj,
+                                      bias, wi, wf, wo, residual=True,
+                                      save_acts=True, rows_per_step=R)[0]
+            return taps[L - 1, (L - 1) * R:(L - 1) * R + T]
 
-    def body(c, _):
-        return c + 1e-30 * jnp.sum(f()), ()
+        def body(c, _):
+            return c + 1e-30 * jnp.sum(f(c)), ()
 
-    g = jax.jit(lambda: jax.lax.scan(body, jnp.zeros(()), None, length=K)[0])
-    float(g())
+        return jax.lax.scan(body, jnp.zeros(()), None, length=K)[0]
+
+    args = (xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo)
+    float(g(*args))
     reps = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(g())
+        float(g(*args))
         reps.append((time.perf_counter() - t0) / K)
     dt = min(reps)
     print(f"B={B} R={R}: g_fwd {dt * 1e3:.3f} ms "
