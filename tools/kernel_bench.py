@@ -11,7 +11,8 @@ amortize the axon tunnel's ~20-27 ms dispatch latency):
   d_fwdbwd   D forward + backward at B rows (the G-step head)
   full       GanTrainer.train_step (1 D + 2 G)
 
-Usage: python tools/kernel_bench.py [B] [T]
+Usage: python tools/kernel_bench.py [B] [T] [full]
+(a literal "full" third arg skips the segment benches)
 """
 
 import os
@@ -102,6 +103,12 @@ def main() -> None:
         return lstm_stack_wavefront(x, lg, g_params, residual=True,
                                     compute_dtype=jnp.bfloat16)
 
+    def g_infer(x):
+        # decode path: no saved-activation stream (save_acts=False)
+        return lstm_stack_wavefront(x, lg, g_params, residual=True,
+                                    compute_dtype=jnp.bfloat16,
+                                    save_acts=False)
+
     def g_fwdbwd(x):
         def loss(ps):
             y = lstm_stack_wavefront(x, lg, ps, residual=True,
@@ -121,10 +128,12 @@ def main() -> None:
             return jnp.sum(y * y)
         return jax.grad(loss)(x)
 
-    timeit("g_fwd", chain(g_fwd, xg))
-    timeit("g_fwdbwd", chain(g_fwdbwd, xg))
-    timeit("d_fwd2b", chain(d_fwd2b, xd2))
-    timeit("d_fwdbwd", chain(d_fwdbwd, xd))
+    if "full" not in sys.argv[3:]:   # arg "full" -> only the full step
+        timeit("g_infer", chain(g_infer, xg))
+        timeit("g_fwd", chain(g_fwd, xg))
+        timeit("g_fwdbwd", chain(g_fwdbwd, xg))
+        timeit("d_fwd2b", chain(d_fwd2b, xd2))
+        timeit("d_fwdbwd", chain(d_fwdbwd, xd))
 
     # full training step (1 D + 2 G), same construction as bench.py
     from rsrgan_tpu.models import get_discriminator, get_generator
