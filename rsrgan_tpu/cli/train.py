@@ -145,7 +145,8 @@ def build_trainer(args, compute_dtype):
                                    bias_downconv=args.bias_downconv)
         else:
             gen = SeganWaveGenerator(units=args.output_dim)
-        disc = SeganDiscriminator(num_fmaps=depths)
+        disc = SeganDiscriminator(num_fmaps=depths,
+                                  bias_conv=args.bias_d_conv)
         return SeganTrainer(gen, disc, disc_updates=args.disc_updates,
                             gen_updates=args.gen_updates)
     gen = get_generator(args.g_type, input_dim=args.input_dim,
@@ -824,7 +825,45 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=777)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="capture an XLA profiler trace of iteration 2")
+    p.add_argument("--bias_d_conv", type=str2bool, nargs="?", const=True,
+                   default=True,
+                   help="bias the SEGAN discriminator convs "
+                        "(train_segan.py --bias_D_conv)")
+    # Accepted spellings from the reference's other drivers / run scripts.
+    # Upstream these drift (min_epochs vs min_epoches,
+    # --start_halving_impr passed by run_dnn.sh to a driver that only
+    # knows start_decay_impr) and get SILENTLY dropped by
+    # parse_known_args; here they alias the canonical flag.
+    p.add_argument("--min_epochs", type=int, default=None,
+                   help="alias of --min_epoches (train_rnn.py spelling)")
+    p.add_argument("--max_epochs", type=int, default=None,
+                   help="alias of --max_epoches (train_rnn.py spelling)")
+    p.add_argument("--init_noise_std", type=float, default=None,
+                   help="alias of --init_disc_noise_std (train_segan.py)")
+    p.add_argument("--start_halving_impr", type=float, default=None,
+                   help="alias of --start_decay_impr (run_dnn.sh spelling)")
+    p.add_argument("--end_halving_impr", type=float, default=None,
+                   help="alias of --end_decay_impr (run_dnn.sh spelling)")
+    p.add_argument("--halving_factor", type=float, default=None,
+                   help="alias of --decay_factor (run_dnn.sh spelling)")
     return p
+
+
+_FLAG_ALIASES = (
+    ("min_epochs", "min_epoches"),
+    ("max_epochs", "max_epoches"),
+    ("init_noise_std", "init_disc_noise_std"),
+    ("start_halving_impr", "start_decay_impr"),
+    ("end_halving_impr", "end_decay_impr"),
+    ("halving_factor", "decay_factor"),
+)
+
+
+def apply_flag_aliases(args) -> None:
+    for alias, canonical in _FLAG_ALIASES:
+        value = getattr(args, alias)
+        if value is not None:
+            setattr(args, canonical, value)
 
 
 def enable_compilation_cache() -> None:
@@ -842,6 +881,7 @@ def enable_compilation_cache() -> None:
 
 def main(argv=None) -> int:
     args, unparsed = build_parser().parse_known_args(argv)
+    apply_flag_aliases(args)
     if args.coordinator_address:
         pid, pcount = init_distributed(args.coordinator_address,
                                        args.num_processes, args.process_id)

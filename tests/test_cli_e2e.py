@@ -316,3 +316,25 @@ def test_periodic_snapshot_cli(corpus, tmp_path):
         assert train_cli.main(common + ["--min_epoches=1",
                                         "--max_epoches=1"]) == 0
     assert "Load SUCCESS (periodic)" in buf.getvalue()
+
+
+def test_reference_flag_aliases():
+    """Spellings from the reference's other drivers / run scripts map to
+    the canonical flags instead of being silently dropped (upstream,
+    run_dnn.sh passes --start_halving_impr to a driver that only knows
+    start_decay_impr and parse_known_args ignores it)."""
+    args, _ = train_cli.build_parser().parse_known_args(
+        ["--min_epochs=7", "--max_epochs=8", "--halving_factor=0.25",
+         "--init_noise_std=0.4", "--start_halving_impr=0.01",
+         "--end_halving_impr=0.002"])
+    train_cli.apply_flag_aliases(args)
+    assert args.min_epoches == 7 and args.max_epoches == 8
+    assert args.decay_factor == 0.25
+    assert args.init_disc_noise_std == 0.4
+    assert args.start_decay_impr == 0.01
+    assert args.end_decay_impr == 0.002
+    # canonical spellings still win when the alias is absent
+    args2, _ = train_cli.build_parser().parse_known_args(
+        ["--min_epoches=9"])
+    train_cli.apply_flag_aliases(args2)
+    assert args2.min_epoches == 9
