@@ -126,7 +126,13 @@ def resolve_lstm_impl(args) -> str:
         return args.lstm_impl
     if jax.default_backend() != "tpu":
         return "scan"
-    return "wavefront" if args.g_type == "res_lstm_l" else "pallas"
+    # the fused stack covers res_lstm_l/base and the plain lstm stack
+    # (input dim == num_proj); modules whose wiring it cannot express
+    # (res_lstm_i, dropout between layers) fall back to the per-layer
+    # pallas kernel internally, so "wavefront" is safe to prefer
+    if args.g_type in ("res_lstm_l", "res_lstm_base", "lstm"):
+        return "wavefront"
+    return "pallas"
 
 
 def build_trainer(args, compute_dtype):

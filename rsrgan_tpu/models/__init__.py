@@ -59,10 +59,14 @@ def get_discriminator(d_type: str, *, keep_prob: float = 1.0,
                       compute_dtype: Any = jnp.float32,
                       lstm_impl: str = "scan"):
     if lstm_impl == "wavefront":
-        # measured twice (304.4k vs 297.7k; re-measured 346.7k vs 342.3k
-        # after the stacked-D + saved-acts changes): the wavefront stack
-        # LOSES on the small D cells — in-kernel input projections beat
-        # hoisted xw only for the big G cells. Keep D on the per-layer
+        # Measured three times across kernel generations, most recently
+        # after grid coarsening: the fused wavefront stack LOSES on the
+        # small D cells in the FULL training step (bench.py 425.8k
+        # frames/s with per-layer kernels vs 419-420k with the stack,
+        # 3 runs each) even though the ISOLATED module microbench leans
+        # the other way (tools/exp_d_impl.py: fwd 2B 1.68 vs 1.80 ms) —
+        # the step-level interplay (2B-row backward, XLA scheduling
+        # around the G kernels) dominates. Keep D on the per-layer
         # kernel; StackedLstm(lstm_impl='wavefront') stays available.
         lstm_impl = "pallas"
     if d_type == "lstm":

@@ -123,24 +123,28 @@ class ResLstmGenerator(nn.Module):
         num_layers = 2 if self.variant == "i" else 4
 
         use_dropout = train and self.keep_prob < 1.0
-        if self.lstm_impl == "wavefront" and not use_dropout:
-            if self.variant != "l":
-                raise NotImplementedError(
-                    "wavefront impl covers the res_lstm_l wiring only")
-            from rsrgan_tpu.ops.wavefront_stack import res_lstm_l_stack
+        # the fused stack covers the "l" (layer-residual) and "base"
+        # (plain MultiRNNCell) wirings; "i" taps the ORIGINAL inputs at
+        # the top (out2 + x), which the kernel's per-layer handoff does
+        # not express — it falls through to the per-layer kernels below
+        if (self.lstm_impl == "wavefront" and not use_dropout
+                and self.variant in ("l", "base")):
+            from rsrgan_tpu.ops.wavefront_stack import lstm_stack_wavefront
 
             params = [
                 _CellParams(num_proj, self.cell_size, num_proj,
                             name=f"lstm_cell_{k + 1}")()
                 for k in range(num_layers)]
-            tap = res_lstm_l_stack(inputs, lengths, params,
-                                   compute_dtype=self.compute_dtype,
-                                   save_acts=train)
+            tap = lstm_stack_wavefront(inputs, lengths, params,
+                                       residual=self.variant == "l",
+                                       compute_dtype=self.compute_dtype,
+                                       save_acts=train)
             return nn.Dense(self.output_dim, kernel_init=_GLOROT,
                             name="forward_out")(tap)
 
-        # dropout between layers forces the per-layer path (the fused
-        # stack has no dropout points), mirroring StackedLstm's fallback
+        # dropout between layers (or the "i" wiring) forces the per-layer
+        # path (the fused stack has no dropout points), mirroring
+        # StackedLstm's fallback
         impl = ("pallas" if self.lstm_impl == "wavefront"
                 else self.lstm_impl)
 

@@ -123,3 +123,33 @@ def test_wavefront_coarsened_rows_match_scan(rng):
                                atol=1e-5)
     for a, b in zip(jax.tree.leaves(g_wave), jax.tree.leaves(g_scan)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_base_variant_wavefront_and_i_fallback(rng):
+    """res_lstm_base rides the fused plain stack; res_lstm_i (whose top
+    tap adds the ORIGINAL inputs) silently falls back to the per-layer
+    kernels — both must match scan."""
+    T4 = 16
+    x = jnp.asarray(rng.normal(size=(B, T4, D)), jnp.float32)
+    lens = jnp.array([T4, 11, 5], jnp.int32)
+    for variant in ("base", "i"):
+        scan_gen = ResLstmGenerator(output_dim=OUT, variant=variant,
+                                    cell_size=13, lstm_impl="scan")
+        wave_gen = ResLstmGenerator(output_dim=OUT, variant=variant,
+                                    cell_size=13, lstm_impl="wavefront")
+        params = scan_gen.init(jax.random.PRNGKey(0), x, lens)
+
+        def loss(gen):
+            return lambda p, xx: jnp.sum(jnp.sin(gen.apply(p, xx, lens,
+                                                           True)))
+
+        with pltpu.force_tpu_interpret_mode():
+            o_wave = wave_gen.apply(params, x, lens)
+            g_wave = jax.grad(loss(wave_gen), argnums=(0, 1))(params, x)
+        o_scan = scan_gen.apply(params, x, lens)
+        g_scan = jax.grad(loss(scan_gen), argnums=(0, 1))(params, x)
+        np.testing.assert_allclose(np.asarray(o_wave), np.asarray(o_scan),
+                                   atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g_wave), jax.tree.leaves(g_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4)
