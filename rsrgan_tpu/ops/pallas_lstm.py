@@ -288,22 +288,28 @@ def bwd_rows_per_step(T, B, Up, P, wbytes, grads_in_kernel=False) -> int:
 
 
 def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
-                w_i, w_f, w_o):
+                w_i, w_f, w_o, block_offset: int = 0):
+    """``block_offset`` (in R-row blocks) lets acts/c_hist be views into a
+    taller SKEWED array (the wavefront stack's raw outputs, where layer
+    k's timestep t lives at row k*R + t) — the kernel reads them in place
+    instead of materializing de-skewed copies."""
     G = 4 * Up
     R = bwd_rows_per_step(T, B, Up, P, jnp.dtype(w_h.dtype).itemsize)
     TB = T // R
+    off = block_offset
     rev3 = lambda b: (TB - 1 - b, 0, 0)
+    skew3 = lambda b: (off + TB - 1 - b, 0, 0)
     # previous block of history: block index max(TB-2-b, 0); the first
     # sequence position's zero state is handled in-kernel.
-    prev3 = lambda b: (jnp.maximum(TB - 2 - b, 0), 0, 0)
+    prev3 = lambda b: (jnp.maximum(off + TB - 2 - b, off), 0, 0)
     const2 = lambda b: (0, 0)
     grid_spec = pl.GridSpec(
         grid=(TB,),
         in_specs=[
-            pl.BlockSpec((R, B, G), rev3, memory_space=pltpu.VMEM),   # acts
+            pl.BlockSpec((R, B, G), skew3, memory_space=pltpu.VMEM),  # acts
             pl.BlockSpec((R, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # dout
-            pl.BlockSpec((R, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((R, B, Up), skew3, memory_space=pltpu.VMEM),  # c_t
             pl.BlockSpec((R, B, Up), prev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
@@ -443,23 +449,25 @@ def _bwd_kernel_acc(R, acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
 
 
 def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
-                    proj, w_i, w_f, w_o):
+                    proj, w_i, w_f, w_o, block_offset: int = 0):
     G = 4 * Up
     R = bwd_rows_per_step(T, B, Up, P, jnp.dtype(w_h.dtype).itemsize,
                           grads_in_kernel=True)
     TB = T // R
+    off = block_offset
     rev3 = lambda b: (TB - 1 - b, 0, 0)
-    prev3 = lambda b: (jnp.maximum(TB - 2 - b, 0), 0, 0)
+    skew3 = lambda b: (off + TB - 1 - b, 0, 0)
+    prev3 = lambda b: (jnp.maximum(off + TB - 2 - b, off), 0, 0)
     const2 = lambda b: (0, 0)
     grid_spec = pl.GridSpec(
         grid=(TB,),
         in_specs=[
-            pl.BlockSpec((R, B, G), rev3, memory_space=pltpu.VMEM),   # acts
+            pl.BlockSpec((R, B, G), skew3, memory_space=pltpu.VMEM),  # acts
             pl.BlockSpec((R, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # dout
-            pl.BlockSpec((R, B, Up), rev3, memory_space=pltpu.VMEM),  # c_t
+            pl.BlockSpec((R, B, Up), skew3, memory_space=pltpu.VMEM),  # c_t
             pl.BlockSpec((R, B, Up), prev3, memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # h_t
+            pl.BlockSpec((R, B, P), skew3, memory_space=pltpu.VMEM),  # h_t
             pl.BlockSpec((R, B, P), prev3, memory_space=pltpu.VMEM),
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
@@ -510,14 +518,14 @@ def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
 def lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist):
     """Weight-gradient reductions from the reverse kernel's streams, as
     full-sequence MXU matmuls. Returns (dwh, dproj, dbias, dwi, dwf, dwo)
-    in padded gate dims."""
-    zero_row = jnp.zeros((1,) + h_hist.shape[1:], h_hist.dtype)
-    h_prev_seq = jnp.concatenate([zero_row, h_hist[:-1]], axis=0)
-    zero_c = jnp.zeros((1,) + c_hist.shape[1:], c_hist.dtype)
-    c_prev_seq = jnp.concatenate([zero_c, c_hist[:-1]], axis=0)
+    in padded gate dims.
 
+    h_prev(t)/c_prev(t) pair with dgates(t); the t=0 terms have the zero
+    initial state, so the reductions run over t = 1..T-1 with fused
+    [1:]/[:-1] slices instead of materializing a zero-row-concatenated
+    prev sequence (profiled: the concats were real HBM copies)."""
     f32 = jnp.float32
-    dwh = jnp.einsum("tbp,tbg->pg", h_prev_seq, dxw,
+    dwh = jnp.einsum("tbp,tbg->pg", h_hist[:-1], dxw[1:],
                      preferred_element_type=f32)
     dproj = jnp.einsum("tbu,tbp->up", m_m, dh_m,
                        preferred_element_type=f32)
@@ -525,14 +533,14 @@ def lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist):
     di = dxw[..., 0 * Up:1 * Up]
     df = dxw[..., 2 * Up:3 * Up]
     do = dxw[..., 3 * Up:4 * Up]
-    dwi = jnp.sum(di * c_prev_seq, axis=(0, 1), dtype=f32)[None]
-    dwf = jnp.sum(df * c_prev_seq, axis=(0, 1), dtype=f32)[None]
+    dwi = jnp.sum(di[1:] * c_hist[:-1], axis=(0, 1), dtype=f32)[None]
+    dwf = jnp.sum(df[1:] * c_hist[:-1], axis=(0, 1), dtype=f32)[None]
     dwo = jnp.sum(do * c_hist, axis=(0, 1), dtype=f32)[None]
     return dwh, dproj, dbias, dwi, dwf, dwo
 
 
 def lstm_layer_bwd(T, B, Up, P, acts, mask3, dout, c_hist, h_hist, w_h,
-                   proj, w_i, w_f, w_o):
+                   proj, w_i, w_f, w_o, row_offset: int = 0):
     """Single-layer backward from SAVED forward activations. Returns
     (dxw, dwh, dproj, dbias, dwi, dwf, dwo) in padded gate dims.
 
@@ -540,13 +548,34 @@ def lstm_layer_bwd(T, B, Up, P, acts, mask3, dout, c_hist, h_hist, w_h,
     streams dgates/m/dh out and reduces weight grads outside as
     full-sequence MXU matmuls; large B accumulates weight grads in-kernel
     to avoid the streams' HBM round-trips.
+
+    ``row_offset``: acts/c_hist/h_hist may be the RAW skewed wavefront
+    outputs (layer k's timestep t at row k*R_fwd + t) — when the offset
+    aligns with this backward's own block size, the kernels read them in
+    place via offset index maps and the outside reductions use lazy
+    slices that fuse into their matmuls, so no de-skew copies
+    materialize. A misaligned offset falls back to explicit slices.
     """
-    if B >= _ACC_BWD_MIN_BATCH:
+    acc = B >= _ACC_BWD_MIN_BATCH
+    R = bwd_rows_per_step(T, B, Up, P, jnp.dtype(w_h.dtype).itemsize,
+                          grads_in_kernel=acc)
+    if row_offset % R:
+        # de-skew explicitly; correctness over zero-copy
+        acts = acts[row_offset:row_offset + T]
+        c_hist = c_hist[row_offset:row_offset + T]
+        h_hist = h_hist[row_offset:row_offset + T]
+        row_offset = 0
+    block_offset = row_offset // R
+    if acc:
         return _bwd_pallas_acc(T, B, Up, P, acts, mask3, dout, c_hist,
-                               h_hist, w_h, proj, w_i, w_f, w_o)
+                               h_hist, w_h, proj, w_i, w_f, w_o,
+                               block_offset)
     dxw, m_m, dh_m = _bwd_pallas(T, B, Up, P, acts, mask3, dout, c_hist,
-                                 w_h, proj, w_i, w_f, w_o)
-    return (dxw,) + lstm_weight_grads(Up, dxw, m_m, dh_m, c_hist, h_hist)
+                                 w_h, proj, w_i, w_f, w_o, block_offset)
+    lo = row_offset
+    return (dxw,) + lstm_weight_grads(Up, dxw, m_m, dh_m,
+                                      c_hist[lo:lo + T],
+                                      h_hist[lo:lo + T])
 
 
 # ---------------------------------------------------------------------------

@@ -126,16 +126,16 @@ def _stack_fwd_impl(static, x, mask, flat_params, save_acts=True):
     taps_s, c_s, h_s, a_s, R = lstm_wavefront_fwd(
         xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo,
         residual=residual, save_acts=save_acts, rows_per_step=R)
-    # de-skew: layer k's timestep t lives at row k*R + t
+    # layer k's timestep t lives at row k*R + t of the SKEWED outputs;
+    # only the top tap is de-skewed here — the backward reads the raw
+    # arrays in place (offset kernel index maps / fused lazy slices), so
+    # no per-layer de-skew copies materialize (profiled: they were ~15%
+    # of the training step)
+    k0 = (L - 1) * R
     if not save_acts:
-        k0 = (L - 1) * R
         return taps_s[L - 1, k0:k0 + T], None
-    taps = jnp.stack([taps_s[k, k * R:k * R + T] for k in range(L)])
-    c_hist = jnp.stack([c_s[k, k * R:k * R + T] for k in range(L)])
-    h_hist = jnp.stack([h_s[k, k * R:k * R + T] for k in range(L)])
-    acts = jnp.stack([a_s[k, k * R:k * R + T] for k in range(L)])
-    residuals = (x, mask, flat_params, taps, c_hist, h_hist, acts)
-    return taps[L - 1], residuals
+    residuals = (x, mask, flat_params, taps_s, c_s, h_s, a_s, R)
+    return taps_s[L - 1, k0:k0 + T], residuals
 
 
 def _stack_fwd(static, x, mask, flat_params):
@@ -145,11 +145,11 @@ def _stack_fwd(static, x, mask, flat_params):
 def _stack_bwd(static, residuals, dtap_top):
     forget_bias, dtype_name, residual = static
     cdt = jnp.dtype(dtype_name)
-    (x, mask, flat_params, taps, c_hist, h_hist, acts) = residuals
+    (x, mask, flat_params, taps_s, c_s, h_s, a_s, R) = residuals
     params_list = _as_dicts(flat_params)
     T, B, P = x.shape
     L = len(params_list)
-    Up = c_hist.shape[-1]
+    Up = c_s.shape[-1]
     wx, wh, bias, proj, wi, wf, wo, _, _ = _prep(params_list, P,
                                                  forget_bias)
     # match the forward's matmul dtype when recomputing xw_k, so the
@@ -160,9 +160,9 @@ def _stack_bwd(static, residuals, dtap_top):
     mask_tb = mask  # [T, B]
 
     # layer inputs from the residual chain: in_0 = x, in_k = tap_{k-1}
-    # (needed only for the dwx reductions — the reverse kernels run from
-    # the forward's SAVED gate activations, so no xw recompute einsums)
-    ins = [x] + [taps[k] for k in range(L - 1)]
+    # (needed only for the dwx reductions; lazy slices of the skewed taps
+    # fuse into those einsums)
+    ins = [x] + [taps_s[k, k * R:k * R + T] for k in range(L - 1)]
 
     dtap = dtap_top
     dparams = []
@@ -171,8 +171,8 @@ def _stack_bwd(static, residuals, dtap_top):
         din_k = dtap if residual else jnp.zeros_like(dtap)
         mask3 = mask_tb[:, None, :]  # [T, 1, B]
         dxw, dwh, dproj, dbias, dwi, dwf, dwo = lstm_layer_bwd(
-            T, B, Up, P, acts[k], mask3, dout_k, c_hist[k], h_hist[k],
-            wh[k], proj[k], wi[k], wf[k], wo[k])
+            T, B, Up, P, a_s[k], mask3, dout_k, c_s[k], h_s[k],
+            wh[k], proj[k], wi[k], wf[k], wo[k], row_offset=k * R)
         din_k = din_k + jnp.einsum("tbg,dg->tbd", dxw.astype(cdt), wx[k],
                                    preferred_element_type=jnp.float32)
         dwx = jnp.einsum("tbd,tbg->dg", ins[k].astype(cdt),
