@@ -47,8 +47,7 @@ from rsrgan_tpu.ops.pallas_lstm import (_VMEM_CAP, _round_up,
 
 def _wavefront_kernel(L, TB, R, residual, save_acts, xw1_ref, mask_ref,
                       x_ref, wx_ref, wh_ref, proj_ref, bias_ref,
-                      wi_ref, wf_ref, wo_ref,
-                      tap_ref, c_hist_ref, h_hist_ref, *rest):
+                      wi_ref, wf_ref, wo_ref, *rest):
     """One grid step: R consecutive timesteps for each of L skewed layers.
 
     Refs (B batch rows, G = 4*Up gate lanes, P proj lanes):
@@ -60,22 +59,29 @@ def _wavefront_kernel(L, TB, R, residual, save_acts, xw1_ref, mask_ref,
       proj_ref  [L, Up, P]    projections
       bias_ref  [L, 1, G]     biases (forget_bias folded)
       w*_ref    [L, 1, Up]    peepholes
-    Outputs, written at block position s (layer k's timestep t lives at
-    row k*R + t after de-skew):
-      tap_ref    [L, R, B, P]  tap_k(t) (post-mask)
-      c_hist_ref [L, R, B, Up] post-mask cell state
-      h_hist_ref [L, R, B, P]  post-mask hidden state
-      acts_ref   [L, R, B, G]  gate activations [si, tj, sf, so]
+    Outputs — PER-LAYER arrays (so each layer's backward reads its own
+    buffer in place; an [L, ...]-packed output forced XLA to materialize
+    per-layer slice copies), written at block position s (layer k's
+    timestep t lives at row k*R + t):
+      tap_refs[k]    [R, B, P]   tap_k(t) (post-mask)
+      c_hist_refs[k] [R, B, Up]  post-mask cell state
+      h_hist_refs[k] [R, B, P]   post-mask hidden state
+      acts_refs[k]   [R, B, G]   gate activations [si, tj, sf, so]
     Scratch:
       c_scr [L, B, Up], h_scr [L, B, P] — recurrent states
       in_scr [L, R, B, P] — input-block handoff: slot k holds the block
       layer k consumes THIS grid step (written by layer k-1 on the
       previous one); slot 0 unused.
     """
+    tap_refs = rest[:L]
+    c_hist_refs = rest[L:2 * L]
+    h_hist_refs = rest[2 * L:3 * L]
     if save_acts:
-        acts_ref, c_scr, h_scr, in_scr = rest
+        acts_refs = rest[3 * L:4 * L]
+        c_scr, h_scr, in_scr = rest[4 * L:]
     else:
-        acts_ref, (c_scr, h_scr, in_scr) = None, rest
+        acts_refs = None
+        c_scr, h_scr, in_scr = rest[3 * L:]
     s = pl.program_id(0)
 
     @pl.when(s == 0)
@@ -143,12 +149,13 @@ def _wavefront_kernel(L, TB, R, residual, save_acts, xw1_ref, mask_ref,
                 # reads zeros during its own fill steps
                 in_scr[k + 1, r] = jnp.where(valid[k], tap,
                                              in_scr[k + 1, r])
-            tap_ref[k, r] = tap
-            c_hist_ref[k, r] = c_st[k]
-            h_hist_ref[k, r] = h_st[k]
+            tap_refs[k][r] = tap
+            c_hist_refs[k][r] = c_st[k]
+            h_hist_refs[k][r] = h_st[k]
             if save_acts:
-                acts_ref[k, r] = jnp.concatenate(
-                    [si, tj, sf, so], axis=1).astype(acts_ref.dtype)
+                acts_refs[k][r] = jnp.concatenate(
+                    [si, tj, sf, so],
+                    axis=1).astype(acts_refs[k].dtype)
     for k in range(L):
         c_scr[k] = c_st[k]
         h_scr[k] = h_st[k]
@@ -186,8 +193,10 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
     ``make_wavefront_mask``. Weight stacks: wx [L-1, P, G], wh [L, P, G],
     proj [L, Up, P], bias [L, 1, G], peepholes [L, 1, Up].
 
-    Returns (taps, c_hist, h_hist, acts), each [L, (TB+L-1)*R, B, *]:
-    layer k's timestep t lives at row k*R + t (slice [k, k*R:k*R+T]).
+    Returns (taps, c_hist, h_hist, acts, R) where taps/c_hist/h_hist/
+    acts are LISTS of L per-layer arrays [(TB+L-1)*R, B, *]: layer k's
+    timestep t lives at row k*R + t (slice [k*R : k*R+T]). Per-layer
+    output buffers let each layer's backward consume them in place.
     ``rows_per_step`` (R) must divide T; default auto-picks from the
     VMEM budget.
     """
@@ -237,15 +246,16 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
             pl.BlockSpec((L, 1, Up), lambda s_: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((L, R, B, P), _wave_out_map(L, TB),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R, B, Up), _wave_out_map(L, TB),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, R, B, P), _wave_out_map(L, TB),
-                         memory_space=pltpu.VMEM),
-        ] + ([pl.BlockSpec((L, R, B, G), _wave_out_map(L, TB),
-                           memory_space=pltpu.VMEM)] if save_acts else []),
+        out_specs=(
+            [pl.BlockSpec((R, B, P), _wave_out_map, memory_space=pltpu.VMEM)
+             for _ in range(L)]
+            + [pl.BlockSpec((R, B, Up), _wave_out_map,
+                            memory_space=pltpu.VMEM) for _ in range(L)]
+            + [pl.BlockSpec((R, B, P), _wave_out_map,
+                            memory_space=pltpu.VMEM) for _ in range(L)]
+            + ([pl.BlockSpec((R, B, G), _wave_out_map,
+                             memory_space=pltpu.VMEM) for _ in range(L)]
+               if save_acts else [])),
         scratch_shapes=[
             pltpu.VMEM((L, B, Up), jnp.float32),
             pltpu.VMEM((L, B, P), jnp.float32),
@@ -257,15 +267,20 @@ def lstm_wavefront_fwd(xw1, mask_lt, x, wx, wh, proj, bias,
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((L, S * R, B, P), jnp.float32),
-            jax.ShapeDtypeStruct((L, S * R, B, Up), jnp.float32),
-            jax.ShapeDtypeStruct((L, S * R, B, P), jnp.float32),
-        ] + ([jax.ShapeDtypeStruct((L, S * R, B, G), wh.dtype)]
-             if save_acts else []),
+        out_shape=(
+            [jax.ShapeDtypeStruct((S * R, B, P), jnp.float32)
+             for _ in range(L)]
+            + [jax.ShapeDtypeStruct((S * R, B, Up), jnp.float32)
+               for _ in range(L)]
+            + [jax.ShapeDtypeStruct((S * R, B, P), jnp.float32)
+               for _ in range(L)]
+            + ([jax.ShapeDtypeStruct((S * R, B, G), wh.dtype)
+                for _ in range(L)] if save_acts else [])),
         compiler_params=compiler_params,
     )(xw1, mask_lt, x, wx, wh, proj, bias, wi, wf, wo)
-    return (outs if save_acts else tuple(outs) + (None,)) + (R,)
+    taps, c_hist, h_hist = outs[:L], outs[L:2 * L], outs[2 * L:3 * L]
+    acts = outs[3 * L:] if save_acts else None
+    return taps, c_hist, h_hist, acts, R
 
 
 def make_wavefront_mask(mask_tb, L: int, R: int) -> jnp.ndarray:
@@ -280,8 +295,8 @@ def make_wavefront_mask(mask_tb, L: int, R: int) -> jnp.ndarray:
     return mask_lt
 
 
-def _wave_out_map(L, TB):
+def _wave_out_map(s_):
     # Outputs are indexed by grid position s (in R-row blocks); layer k's
-    # timestep t lives at row k*R + t after the caller's de-skew slice
-    # taps[k, k*R : k*R + T].
-    return lambda s_: (0, s_, 0, 0)
+    # timestep t lives at row k*R + t of its own array (de-skew slice
+    # taps[k][k*R : k*R + T]).
+    return (s_, 0, 0)

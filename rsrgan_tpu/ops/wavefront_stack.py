@@ -126,16 +126,17 @@ def _stack_fwd_impl(static, x, mask, flat_params, save_acts=True):
     taps_s, c_s, h_s, a_s, R = lstm_wavefront_fwd(
         xw1, mask_lt, x, wx[1:], wh, proj, bias, wi, wf, wo,
         residual=residual, save_acts=save_acts, rows_per_step=R)
-    # layer k's timestep t lives at row k*R + t of the SKEWED outputs;
-    # only the top tap is de-skewed here — the backward reads the raw
-    # arrays in place (offset kernel index maps / fused lazy slices), so
-    # no per-layer de-skew copies materialize (profiled: they were ~15%
-    # of the training step)
+    # per-layer SKEWED outputs: layer k's timestep t lives at row k*R + t
+    # of its own array; only the top tap is de-skewed here — the backward
+    # reads the raw arrays in place (offset kernel index maps / fused
+    # lazy slices), so no per-layer de-skew copies materialize (profiled:
+    # they were ~15% of the training step)
     k0 = (L - 1) * R
     if not save_acts:
-        return taps_s[L - 1, k0:k0 + T], None
-    residuals = (x, mask, flat_params, taps_s, c_s, h_s, a_s, R)
-    return taps_s[L - 1, k0:k0 + T], residuals
+        return taps_s[L - 1][k0:k0 + T], None
+    residuals = (x, mask, flat_params, tuple(taps_s), tuple(c_s),
+                 tuple(h_s), tuple(a_s), R)
+    return taps_s[L - 1][k0:k0 + T], residuals
 
 
 def _stack_fwd(static, x, mask, flat_params):
@@ -149,7 +150,7 @@ def _stack_bwd(static, residuals, dtap_top):
     params_list = _as_dicts(flat_params)
     T, B, P = x.shape
     L = len(params_list)
-    Up = c_s.shape[-1]
+    Up = c_s[0].shape[-1]
     wx, wh, bias, proj, wi, wf, wo, _, _ = _prep(params_list, P,
                                                  forget_bias)
     # match the forward's matmul dtype when recomputing xw_k, so the
@@ -162,7 +163,7 @@ def _stack_bwd(static, residuals, dtap_top):
     # layer inputs from the residual chain: in_0 = x, in_k = tap_{k-1}
     # (needed only for the dwx reductions; lazy slices of the skewed taps
     # fuse into those einsums)
-    ins = [x] + [taps_s[k, k * R:k * R + T] for k in range(L - 1)]
+    ins = [x] + [taps_s[k][k * R:k * R + T] for k in range(L - 1)]
 
     dtap = dtap_top
     dparams = []
