@@ -135,3 +135,47 @@ def test_coarsened_reverse_blocks_match_scan(rng):
         for a, g in zip(jax.tree.leaves(g_pal), jax.tree.leaves(g_scan)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(g),
                                        atol=2e-4)
+
+
+def test_layer_bwd_row_offset_paths(rng):
+    """lstm_layer_bwd must give identical results whether it reads a
+    skewed array in place (aligned offset -> offset index maps) or falls
+    back to explicit de-skew slices (misaligned offset)."""
+    import jax.numpy as jnp
+    from rsrgan_tpu.ops import pallas_lstm as pk
+
+    T_, B_, U_, P_ = 12, 2, 8, 5
+    Up = pk._round_up(U_, 128)
+    G = 4 * Up
+    pad = 6  # skew offset in rows
+    acts = jnp.asarray(rng.uniform(0.1, 0.9, (pad + T_ + 2, B_, G)),
+                       jnp.float32)
+    c_hist = jnp.asarray(rng.normal(size=(pad + T_ + 2, B_, Up)),
+                         jnp.float32)
+    h_hist = jnp.asarray(rng.normal(size=(pad + T_ + 2, B_, P_)),
+                         jnp.float32)
+    mask3 = jnp.ones((T_, 1, B_), jnp.float32)
+    dout = jnp.asarray(rng.normal(size=(T_, B_, P_)), jnp.float32)
+    w_h = jnp.asarray(rng.normal(0, 0.1, (P_, G)), jnp.float32)
+    proj = jnp.asarray(rng.normal(0, 0.1, (Up, P_)), jnp.float32)
+    peep = [jnp.asarray(rng.normal(0, 0.1, (1, Up)), jnp.float32)
+            for _ in range(3)]
+
+    def run(a, c, h, off):
+        with pltpu.force_tpu_interpret_mode():
+            return pk.lstm_layer_bwd(T_, B_, Up, P_, a, mask3, dout, c, h,
+                                     w_h, proj, *peep, row_offset=off)
+
+    ref = run(acts[pad:pad + T_], c_hist[pad:pad + T_],
+              h_hist[pad:pad + T_], 0)
+    # T=12 -> R=4; offset 6 % 4 != 0 -> explicit-slice fallback
+    mis = run(acts, c_hist, h_hist, pad)
+    # offset 8 % 4 == 0 -> in-place offset index maps
+    acts8 = jnp.concatenate([jnp.zeros((2,) + acts.shape[1:]), acts])
+    c8 = jnp.concatenate([jnp.zeros((2,) + c_hist.shape[1:]), c_hist])
+    h8 = jnp.concatenate([jnp.zeros((2,) + h_hist.shape[1:]), h_hist])
+    ali = run(acts8, c8, h8, pad + 2)
+    for a, b in zip(mis, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(ali, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
