@@ -338,3 +338,41 @@ def test_reference_flag_aliases():
         ["--min_epoches=9"])
     train_cli.apply_flag_aliases(args2)
     assert args2.min_epoches == 9
+
+
+def test_serve_streaming_matches_decode(corpus, tmp_path):
+    """cli.serve streams each utterance in chunks with carried state; its
+    feats must match the offline batch-1 decode of the same checkpoint."""
+    from rsrgan_tpu.cli import serve as serve_cli
+
+    data_dir = corpus
+    save_dir = str(tmp_path / "serve_exp")
+    common = [
+        "--trainer=gan_rnn", "--g_type=res_lstm_l",
+        f"--data_dir={data_dir}",
+        f"--tr_list_file={os.path.join(data_dir, 'tr.list')}",
+        f"--cv_list_file={os.path.join(data_dir, 'cv.list')}",
+        f"--save_dir={save_dir}",
+        "--input_dim=16", "--output_dim=6", "--batch_size=2",
+        "--bf16=false", "--l2_scale=0.0"]
+    rc = train_cli.main(common + ["--g_learning_rate=0.0005",
+                                  "--d_learning_rate=0.001",
+                                  "--min_epoches=1", "--max_epoches=1"])
+    assert rc == 0
+    assert train_cli.main([
+        "--decode", "--trainer=gan_rnn", "--g_type=res_lstm_l",
+        f"--data_dir={data_dir}",
+        f"--test_list_file={os.path.join(data_dir, 'test.list')}",
+        f"--save_dir={save_dir}", "--input_dim=16", "--output_dim=6",
+        "--bf16=false"]) == 0
+    offline = {u: np.array(m) for u, m in ScpReader(
+        os.path.join(save_dir, "test", "feats.scp"))}
+    assert serve_cli.main([
+        f"--save_dir={save_dir}", f"--data_dir={data_dir}",
+        f"--test_list_file={os.path.join(data_dir, 'test.list')}",
+        "--input_dim=16", "--output_dim=6", "--chunk_frames=13"]) == 0
+    streamed = {u: np.array(m) for u, m in ScpReader(
+        os.path.join(save_dir, "stream", "feats.scp"))}
+    assert offline.keys() == streamed.keys()
+    for u in offline:
+        np.testing.assert_allclose(streamed[u], offline[u], atol=1e-4)
