@@ -13,9 +13,10 @@ Layout notes:
   (U=760 -> 768) so gate slicing stays lane-aligned. Padded lanes carry
   zeros end-to-end (tanh(0)=0 keeps padded cell state at 0).
 * the backward pass is a second kernel walking the grid in reverse
-  (index maps t -> T-1-t), recomputing gate activations from the saved
-  per-step states (c_hist/h_hist) and accumulating weight gradients
-  directly into revisited output blocks.
+  (index maps b -> TB-1-b) over R-row blocks, reading the forward's SAVED
+  gate activations (no recompute); weight gradients either stream out for
+  full-sequence MXU reductions (small B) or accumulate into revisited
+  output blocks in-kernel (large B) — see lstm_layer_bwd.
 * length masking matches dynamic_rnn: masked steps freeze state, zero
   outputs, and contribute zero gradient.
 

@@ -1,11 +1,13 @@
-"""res_lstm_l 4-layer stack on the wavefront forward kernel + composed
-backward.
+"""res_lstm_l / plain L-layer stacks on the wavefront forward kernel +
+composed zero-copy backward.
 
 Forward: one wavefront kernel (rsrgan_tpu/ops/pallas_wavefront.py) runs
-all L layers. Backward: the per-layer reverse kernel from pallas_lstm,
-walked from the top layer down, with layer inputs reconstructed from the
-residual closed form in_k = x + sum_{j<k} out_j and gradients chained
-through d(tap_k) in plain JAX.
+all L layers, emitting per-layer SKEWED tap/c/h/acts buffers. Backward:
+the per-layer reverse kernel from pallas_lstm walked from the top layer
+down, reading those buffers in place (row_offset index maps), with layer
+inputs taken as lazy slices of the saved taps (fused into the dW_x
+einsums) and gradients chained through d(tap_k) in plain JAX. Design
+rationale and measurements: docs/KERNELS.md.
 """
 
 from __future__ import annotations
