@@ -61,7 +61,7 @@ def main():
             taps = lstm_wavefront_fwd(xw1 + c, mask_lt, x, wx, wh, proj,
                                       bias, wi, wf, wo, residual=True,
                                       save_acts=True, rows_per_step=R)[0]
-            return taps[L - 1, (L - 1) * R:(L - 1) * R + T]
+            return taps[L - 1][(L - 1) * R:(L - 1) * R + T]
 
         def body(c, _):
             return c + 1e-30 * jnp.sum(f(c)), ()
