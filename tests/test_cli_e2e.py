@@ -376,3 +376,29 @@ def test_serve_streaming_matches_decode(corpus, tmp_path):
     assert offline.keys() == streamed.keys()
     for u in offline:
         np.testing.assert_allclose(streamed[u], offline[u], atol=1e-4)
+
+
+def test_plot_cli(tmp_path):
+    """cli.plot renders train/cv curves from the metrics JSONL
+    (generate_plots.py parity for the structured logs)."""
+    import json
+
+    from rsrgan_tpu.cli import plot as plot_cli
+
+    save_dir = str(tmp_path / "plot_exp")
+    os.makedirs(save_dir)
+    for split, base in (("train", 2.0), ("eval", 1.5)):
+        with open(os.path.join(save_dir, f"metrics_{split}.jsonl"),
+                  "w") as f:
+            for i in range(3):
+                f.write(json.dumps({"iteration": i + 1,
+                                    "g_mse_loss": base / (i + 1),
+                                    "g_loss": base * 2 / (i + 1)}) + "\n")
+    out = str(tmp_path / "curves.png")
+    assert plot_cli.main([f"--save_dir={save_dir}",
+                          f"--output={out}"]) == 0
+    assert os.path.getsize(out) > 1000
+    # missing metrics -> clean error, not a crash
+    empty = str(tmp_path / "empty_exp")
+    os.makedirs(empty)
+    assert plot_cli.main([f"--save_dir={empty}"]) == 1
