@@ -36,6 +36,10 @@ def main(argv=None) -> int:
                    help="lower:upper bounds, sampled uniformly")
     p.add_argument("--background_snrs", default="5:20")
     p.add_argument("--speech_rvb_probability", type=float, default=1.0)
+    p.add_argument("--pointsource_noise_addition_probability", type=float,
+                   default=1.0)
+    p.add_argument("--isotropic_noise_addition_probability", type=float,
+                   default=1.0)
     p.add_argument("--max_noises_added", type=int, default=1)
     p.add_argument("--shift_output", default="true")
     p.add_argument("--normalize_output", default="true")
@@ -50,13 +54,18 @@ def main(argv=None) -> int:
         foreground_snr_bounds=bounds(args.foreground_snrs),
         background_snr_bounds=bounds(args.background_snrs),
         speech_rvb_probability=args.speech_rvb_probability,
+        pointsource_noise_addition_probability=(
+            args.pointsource_noise_addition_probability),
+        isotropic_noise_addition_probability=(
+            args.isotropic_noise_addition_probability),
         max_noises_added=args.max_noises_added,
         shift_output=str(args.shift_output).lower() == "true",
         normalize_output=str(args.normalize_output).lower() == "true",
         seed=args.random_seed)
 
     rooms = parse_rir_list(args.rir_list) if args.rir_list else []
-    noises = parse_noise_list(args.noise_list) if args.noise_list else []
+    pointsource, iso_noise_dict = (parse_noise_list(args.noise_list)
+                                   if args.noise_list else ([], {}))
     rng = np.random.default_rng(args.random_seed)
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -76,7 +85,9 @@ def main(argv=None) -> int:
         for rep in range(1, args.num_replications + 1):
             for utt_id, wav_path in entries:
                 speech, rate = read_wav(wav_path)
-                corrupted = corrupt_utterance(speech, rooms, noises, opts,
+                opts.sample_rate = rate
+                corrupted = corrupt_utterance(speech, rooms, pointsource,
+                                              iso_noise_dict, opts,
                                               rng, cached_read)
                 rvb_id = (f"rvb{rep}_{utt_id}"
                           if args.num_replications > 1 else utt_id)

@@ -1,8 +1,8 @@
 """Reverberant-data simulation (wav-reverberate + recipe equivalents)."""
 
 from rsrgan_tpu.sim.reverb import (Noise, Rir, Room, SimulationOptions,
-                                   corrupt_utterance, fft_convolve,
-                                   mix_at_snr, parse_noise_list,
-                                   parse_rir_list,
+                                   corrupt_utterance, extend_to_duration,
+                                   fft_convolve, mix_at_snr,
+                                   parse_noise_list, parse_rir_list,
                                    pick_item_with_probability, reverberate)
 from rsrgan_tpu.sim.wavio import read_wav, write_wav

@@ -11,9 +11,19 @@ reverberate/run.sh:25-64):
 * FFT convolution of speech with the RIR, output shifted by the RIR peak
   (--shift-output=true) and power-normalized to the dry input
   (--normalize-output=true)
-* point-source noises convolved with their own RIR and mixed at an SNR
-  sampled uniformly from [lower, upper] (the reference fork's behavior);
-  isotropic noises mixed unconvolved
+* point-source noises convolved with an RIR **from the speech's room**
+  (AddPointSourceNoise, :215-216) and mixed at an SNR sampled uniformly
+  from [lower, upper] (the reference fork's behavior); background noises
+  are extended to the full speech duration and start at t=0, foreground
+  noises keep their own duration and start at a random time
+  ``round(random()*speech_dur, 2)`` seconds (:218-227)
+* isotropic noises are room-linked (``iso_noise_dict[speech_rir.room_id]``,
+  :267-281), mixed unconvolved, extended to the full duration
+
+Known deviation vs the reference (CLI-vs-direct-execution): the SNR scale
+here is computed from the power of the *current mixture* over its full
+length, whereas Kaldi ``wav-reverberate`` uses the dry signal's
+early-reverberation energy when an RIR is supplied.
 
 The convolutions run as one jitted rFFT multiply; corpus generation is an
 embarrassingly parallel host loop over utterances.
@@ -117,22 +127,42 @@ def parse_rir_list(path: str) -> List[Room]:
     return list(rooms.values())
 
 
-def parse_noise_list(path: str) -> List[Noise]:
-    noises = []
+def parse_noise_list(path: str) -> Tuple[List[Noise],
+                                         Dict[str, List[Noise]]]:
+    """-> (pointsource_noise_list, iso_noise_dict) keyed by room-id.
+
+    Mirrors ParseNoiseList (reverberate_bash.py:575-623): isotropic
+    noises REQUIRE --room-linkage and go into the per-room dict (each
+    room's probabilities normalized separately); point-source noises form
+    a flat smoothed list.
+    """
+    pointsource: List[Noise] = []
+    iso_noise_dict: Dict[str, List[Noise]] = {}
     with open(path) as f:
         for line in f:
             if not line.strip():
                 continue
             opts, location = _parse_option_line(line)
-            noises.append(Noise(
+            noise = Noise(
                 noise_id=opts.get("noise_id", location),
                 location=location,
                 noise_type=opts.get("noise_type", "point-source"),
                 bg_fg_type=opts.get("bg_fg_type", "background"),
                 room_linkage=opts.get("room_linkage"),
-                probability=float(opts.get("probability", 0.0))))
-    _smooth_probabilities(noises)
-    return noises
+                probability=float(opts.get("probability", 0.0)))
+            if noise.noise_type == "isotropic":
+                if noise.room_linkage is None:
+                    raise ValueError(
+                        "--room-linkage must be specified if --noise-type "
+                        f"is isotropic ({noise.noise_id})")
+                iso_noise_dict.setdefault(noise.room_linkage,
+                                          []).append(noise)
+            else:
+                pointsource.append(noise)
+    _smooth_probabilities(pointsource)
+    for room_noises in iso_noise_dict.values():
+        _smooth_probabilities(room_noises)
+    return pointsource, iso_noise_dict
 
 
 def pick_item_with_probability(rng: np.random.Generator, items):
@@ -184,21 +214,34 @@ def reverberate(speech: np.ndarray, rir: np.ndarray,
     return wet
 
 
-def _fit_noise(noise: np.ndarray, length: int,
-               rng: np.random.Generator) -> np.ndarray:
-    """Loop or crop the noise to ``length`` with a random start."""
+def extend_to_duration(noise: np.ndarray, length: int) -> np.ndarray:
+    """wav-reverberate --duration=t semantics: loop the signal from its
+    start to reach ``length`` samples, or truncate from the start
+    (no random crop offset)."""
     if len(noise) >= length:
-        start = int(rng.integers(0, len(noise) - length + 1))
-        return noise[start:start + length]
+        return noise[:length]
     reps = -(-length // len(noise))
     return np.tile(noise, reps)[:length]
 
 
 def mix_at_snr(speech: np.ndarray, noise: np.ndarray, snr_db: float,
-               rng: np.random.Generator,
-               start_time: int = 0) -> np.ndarray:
-    """Add ``noise`` scaled so that 10log10(P_speech/P_noise) == snr_db."""
-    segment = _fit_noise(noise, len(speech) - start_time, rng)
+               start_time: int = 0,
+               extend: bool = False) -> np.ndarray:
+    """Add ``noise`` scaled so that 10log10(P_speech/P_noise) == snr_db.
+
+    ``extend=True`` (background/isotropic noises) loops the noise to cover
+    ``speech`` fully from ``start_time``; ``extend=False`` (foreground)
+    keeps the noise's own duration, truncating whatever runs past the end
+    of the speech (reverberate_bash.py:218-227 / wav-reverberate
+    --start-times behavior).
+    """
+    room = len(speech) - start_time
+    if room <= 0:
+        return speech
+    if extend:
+        segment = extend_to_duration(noise, room)
+    else:
+        segment = noise[:room]
     p_speech = float(np.mean(speech ** 2))
     p_noise = float(np.mean(segment ** 2))
     if p_noise <= 0 or p_speech <= 0:
@@ -217,44 +260,79 @@ class SimulationOptions:
     background_snr_bounds: Tuple[float, float] = (5.0, 20.0)
     speech_rvb_probability: float = 1.0
     pointsource_noise_addition_probability: float = 1.0
+    isotropic_noise_addition_probability: float = 1.0
     max_noises_added: int = 1
     shift_output: bool = True
     normalize_output: bool = True
+    sample_rate: int = 16000
     seed: int = 1
 
 
 def corrupt_utterance(speech: np.ndarray, rooms: Sequence[Room],
-                      noises: Sequence[Noise],
+                      pointsource_noises: Sequence[Noise],
+                      iso_noise_dict: Dict[str, List[Noise]],
                       opts: SimulationOptions,
                       rng: np.random.Generator,
                       read_wav_fn) -> np.ndarray:
     """One utterance through the reverberate+noise pipeline
-    (CreateReverberatedCopy semantics, reverberate_bash.py:408-445)."""
+    (GenerateReverberationOpts semantics, reverberate_bash.py:241-303).
+
+    Placement rules (all from the reference):
+    * the room and speech RIR are drawn ONCE, even when the speech itself
+      is not reverberated (:260-262) — they anchor the noise placement;
+    * isotropic noise comes from ``iso_noise_dict[speech_rir.room_id]``,
+      is never convolved, spans the full duration from t=0 (:267-281);
+    * every point-source noise is convolved with an RIR from the SAME
+      room (:215-216); background ones span the full duration from t=0,
+      foreground ones keep their duration and start at
+      ``round(random()*speech_dur, 2)`` seconds (:218-227);
+    * noise convolution runs with wav-reverberate's own defaults
+      (normalize on, no peak shift) — the speech-level --shift-output /
+      --normalize-output flags apply to the speech only (:219-224 build
+      bare ``--impulse-response`` commands).
+    """
     out = speech.astype(np.float32)
-    speech_rir = None
-    if rooms and rng.random() < opts.speech_rvb_probability:
-        room = pick_item_with_probability(rng, rooms)
-        speech_rir_entry = pick_item_with_probability(rng, room.rirs)
+    speech_dur = len(speech) / float(opts.sample_rate)
+    if not rooms:
+        return out
+    room = pick_item_with_probability(rng, rooms)
+    speech_rir_entry = pick_item_with_probability(rng, room.rirs)
+    if rng.random() < opts.speech_rvb_probability:
         speech_rir = read_wav_fn(speech_rir_entry.location)
         out = reverberate(out, speech_rir, opts.shift_output,
                           opts.normalize_output)
-    if noises and opts.max_noises_added > 0:
+
+    iso_list = iso_noise_dict.get(speech_rir_entry.room_id, [])
+    if iso_list and (rng.random()
+                     < opts.isotropic_noise_addition_probability):
+        noise_entry = pick_item_with_probability(rng, iso_list)
+        noise = read_wav_fn(noise_entry.location).astype(np.float32)
+        snr = float(rng.uniform(*opts.background_snr_bounds))
+        out = mix_at_snr(out, noise, snr, start_time=0, extend=True)
+
+    if (pointsource_noises
+            and rng.random() < opts.pointsource_noise_addition_probability
+            and opts.max_noises_added >= 1):
         num = int(rng.integers(1, opts.max_noises_added + 1))
         for _ in range(num):
-            if rng.random() > opts.pointsource_noise_addition_probability:
-                continue
-            noise_entry = pick_item_with_probability(rng, noises)
+            noise_entry = pick_item_with_probability(rng,
+                                                     pointsource_noises)
             noise = read_wav_fn(noise_entry.location).astype(np.float32)
-            if noise_entry.noise_type == "point-source" and rooms:
-                room = pick_item_with_probability(rng, rooms)
-                noise_rir = read_wav_fn(
-                    pick_item_with_probability(rng, room.rirs).location)
-                noise = reverberate(noise, noise_rir, opts.shift_output,
-                                    opts.normalize_output)
-            lo, hi = (opts.foreground_snr_bounds
-                      if noise_entry.bg_fg_type == "foreground"
-                      else opts.background_snr_bounds)
-            snr = float(rng.uniform(lo, hi))  # uniform sampling — the
-            # reference fork's change vs stock Kaldi's cycled list
-            out = mix_at_snr(out, noise, snr, rng)
+            noise_rir = read_wav_fn(
+                pick_item_with_probability(rng, room.rirs).location)
+            noise = reverberate(noise, noise_rir, shift_output=False,
+                                normalize_output=True)
+            if noise_entry.bg_fg_type == "background":
+                snr = float(rng.uniform(*opts.background_snr_bounds))
+                out = mix_at_snr(out, noise, snr, start_time=0,
+                                 extend=True)
+            else:
+                snr = float(rng.uniform(*opts.foreground_snr_bounds))
+                # uniform sampling — the reference fork's change vs stock
+                # Kaldi's cycled list
+                start_sec = round(float(rng.random()) * speech_dur, 2)
+                start = min(int(start_sec * opts.sample_rate),
+                            len(speech))
+                out = mix_at_snr(out, noise, snr, start_time=start,
+                                 extend=False)
     return out

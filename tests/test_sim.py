@@ -8,9 +8,10 @@ import pytest
 import scipy.signal
 
 from rsrgan_tpu.sim import (SimulationOptions, corrupt_utterance,
-                            fft_convolve, mix_at_snr, parse_noise_list,
-                            parse_rir_list, pick_item_with_probability,
-                            read_wav, reverberate, write_wav)
+                            extend_to_duration, fft_convolve, mix_at_snr,
+                            parse_noise_list, parse_rir_list,
+                            pick_item_with_probability, read_wav,
+                            reverberate, write_wav)
 
 
 class TestWavIO:
@@ -50,11 +51,40 @@ class TestDsp:
         speech = rng.normal(size=16000).astype(np.float32) * 1000
         noise = rng.normal(size=16000).astype(np.float32) * 123
         for snr in (0.0, 10.0, 20.0):
-            mixed = mix_at_snr(speech, noise, snr, rng)
+            mixed = mix_at_snr(speech, noise, snr)
             added = mixed - speech
             got_snr = 10 * np.log10(np.mean(speech ** 2)
                                     / np.mean(added ** 2))
             assert abs(got_snr - snr) < 0.5
+
+    def test_extend_to_duration(self, rng):
+        noise = rng.normal(size=100).astype(np.float32)
+        looped = extend_to_duration(noise, 250)
+        # loops from the start (wav-reverberate --duration), no random crop
+        np.testing.assert_array_equal(looped[:100], noise)
+        np.testing.assert_array_equal(looped[100:200], noise)
+        np.testing.assert_array_equal(looped[200:], noise[:50])
+        np.testing.assert_array_equal(extend_to_duration(noise, 40),
+                                      noise[:40])
+
+    def test_mix_foreground_not_extended(self, rng):
+        speech = rng.normal(size=1000).astype(np.float32) * 100
+        noise = np.ones(100, np.float32)
+        mixed = mix_at_snr(speech, noise, 10.0, start_time=300,
+                           extend=False)
+        added = mixed - speech
+        assert np.all(added[:300] == 0)
+        assert np.all(added[300:400] != 0)
+        assert np.all(added[400:] == 0)  # NOT looped to fill the tail
+
+    def test_mix_past_end_truncates(self, rng):
+        speech = rng.normal(size=1000).astype(np.float32) * 100
+        noise = np.ones(500, np.float32)
+        mixed = mix_at_snr(speech, noise, 10.0, start_time=800,
+                           extend=False)
+        assert mixed.shape == speech.shape
+        assert np.all(mixed[:800] == speech[:800])
+        assert np.all(mixed[800:] != speech[800:])
 
 
 class TestManifests:
@@ -77,11 +107,23 @@ class TestManifests:
             "--noise-id n1 --noise-type point-source "
             "--bg-fg-type foreground /p/n1.wav\n"
             "--noise-id n2 --noise-type isotropic --bg-fg-type background "
-            "/p/n2.wav\n")
-        noises = parse_noise_list(str(path))
-        assert noises[0].bg_fg_type == "foreground"
-        assert noises[1].noise_type == "isotropic"
-        assert abs(sum(n.probability for n in noises) - 1.0) < 1e-9
+            "--room-linkage A /p/n2.wav\n"
+            "--noise-id n3 --noise-type isotropic --bg-fg-type background "
+            "--room-linkage A /p/n3.wav\n")
+        pointsource, iso = parse_noise_list(str(path))
+        assert [n.noise_id for n in pointsource] == ["n1"]
+        assert pointsource[0].bg_fg_type == "foreground"
+        assert abs(sum(n.probability for n in pointsource) - 1.0) < 1e-9
+        # isotropic noises are room-keyed, per-room normalized
+        assert set(iso) == {"A"}
+        assert len(iso["A"]) == 2
+        assert abs(sum(n.probability for n in iso["A"]) - 1.0) < 1e-9
+
+    def test_parse_noise_list_iso_requires_room(self, tmp_path):
+        path = tmp_path / "noise_list"
+        path.write_text("--noise-id n1 --noise-type isotropic /p/n1.wav\n")
+        with pytest.raises(ValueError, match="room-linkage"):
+            parse_noise_list(str(path))
 
     def test_pick_with_probability(self, rng, tmp_path):
         path = tmp_path / "rir_list"
@@ -94,7 +136,110 @@ class TestManifests:
         assert counts["A"] > counts["B"]
 
 
-class TestEndToEnd:
+def _delta_rir(pos, length=64):
+    rir = np.zeros(length, np.float32)
+    rir[pos] = 1.0
+    return rir
+
+
+def _two_room_setup(rng):
+    """Two rooms with identity RIRs, one point-source noise, wav dict."""
+    from rsrgan_tpu.sim import Noise, Rir, Room
+
+    wavs = {
+        "A/r1.wav": _delta_rir(0), "A/r2.wav": _delta_rir(0),
+        "B/r1.wav": _delta_rir(0),
+        "noise.wav": rng.normal(size=400).astype(np.float32),
+        "iso_a.wav": rng.normal(size=300).astype(np.float32),
+    }
+    rooms = [
+        Room("A", rirs=[Rir("a1", "A", "A/r1.wav", 0.25),
+                        Rir("a2", "A", "A/r2.wav", 0.25)],
+             probability=0.5),
+        Room("B", rirs=[Rir("b1", "B", "B/r1.wav", 0.5)],
+             probability=0.5),
+    ]
+    noises = [Noise("n0", "noise.wav", "point-source", "foreground",
+                    probability=1.0)]
+    iso = {"A": [Noise("i0", "iso_a.wav", "isotropic", "background",
+                       room_linkage="A", probability=1.0)]}
+    return rooms, noises, iso, wavs
+
+
+class TestPlacementSemantics:
+    """reverberate_bash.py:215-227 / :267-281 placement fidelity."""
+
+    def test_foreground_random_start_and_no_tiling(self, rng):
+        rooms, noises, iso, wavs = _two_room_setup(rng)
+        speech = rng.normal(size=4000).astype(np.float32) * 100
+        opts = SimulationOptions(speech_rvb_probability=0.0,
+                                 isotropic_noise_addition_probability=0.0)
+        starts = []
+        for seed in range(30):
+            out = corrupt_utterance(speech, rooms, noises, {}, opts,
+                                    np.random.default_rng(seed),
+                                    lambda p: wavs[p])
+            added = np.flatnonzero(out != speech)
+            if added.size == 0:  # start landed past the end
+                starts.append(len(speech))
+                continue
+            starts.append(int(added[0]))
+            # foreground: support <= noise length, never looped
+            assert added[-1] - added[0] < 400
+        # random per-utterance start times, many distinct, some nonzero
+        assert len(set(starts)) > 10
+        assert max(starts) > 0
+
+    def test_noise_rir_from_speech_room(self, rng):
+        rooms, noises, iso, wavs = _two_room_setup(rng)
+        speech = rng.normal(size=4000).astype(np.float32) * 100
+        opts = SimulationOptions(isotropic_noise_addition_probability=0.0)
+        for seed in range(20):
+            reads = []
+
+            def read(path):
+                reads.append(path)
+                return wavs[path]
+
+            corrupt_utterance(speech, rooms, noises, {}, opts,
+                              np.random.default_rng(seed), read)
+            rir_reads = [p for p in reads if "/r" in p]
+            speech_room = rir_reads[0].split("/")[0]
+            assert all(p.split("/")[0] == speech_room for p in rir_reads), \
+                f"noise RIR from a different room than the speech: {reads}"
+
+    def test_background_iso_spans_full_duration(self, rng):
+        rooms, noises, iso, wavs = _two_room_setup(rng)
+        speech = rng.normal(size=4000).astype(np.float32) * 100
+        # identity RIRs: reverb is a no-op, but reading the speech RIR
+        # reveals which room was drawn
+        opts = SimulationOptions(speech_rvb_probability=1.0,
+                                 pointsource_noise_addition_probability=0.0)
+        hit_a = False
+        for seed in range(20):
+            reads = []
+
+            def read(path):
+                reads.append(path)
+                return wavs[path]
+
+            out = corrupt_utterance(speech, rooms, noises, iso, opts,
+                                    np.random.default_rng(seed), read)
+            speech_room = reads[0].split("/")[0]
+            if speech_room == "A":
+                hit_a = True
+                added = out - speech
+                # iso noise (300 samples) looped over all 4000 samples
+                # from t=0: every quarter carries noise energy
+                for q in range(4):
+                    seg = added[q * 1000:(q + 1) * 1000]
+                    assert float(np.sqrt(np.mean(seg ** 2))) > 1.0
+            else:
+                # room B has no linked isotropic noise -> nothing added
+                # (identity-RIR reverb is a numerical no-op)
+                np.testing.assert_allclose(out, speech, rtol=1e-4,
+                                           atol=1e-3)
+        assert hit_a
     def test_corrupt_and_extract(self, tmp_path, rng):
         # build a tiny wav corpus + rir + noise
         wav_dir = tmp_path / "wavs"
@@ -116,7 +261,8 @@ class TestEndToEnd:
         (tmp_path / "rir_list").write_text(
             f"--rir-id r0 --room-id A {tmp_path}/rir.wav\n")
         (tmp_path / "noise_list").write_text(
-            f"--noise-id n0 --noise-type isotropic {tmp_path}/noise.wav\n")
+            f"--noise-id n0 --noise-type isotropic --room-linkage A "
+            f"{tmp_path}/noise.wav\n")
 
         from rsrgan_tpu.cli import simulate
         out_dir = str(tmp_path / "rvb")
