@@ -10,6 +10,11 @@ at io_funcs/kaldi_io.py:24-283:
   data-prep bottleneck, SURVEY.md section 2.8); here the whole payload is
   decoded with numpy piecewise arithmetic. An optional C++ fast path lives in
   rsrgan_tpu/native (used automatically when built).
+* compressed matrices, formats 2/3 ("\0BCM2 "/"\0BCM3 " -- GlobalHeader +
+  row-major uint16/uint8 payload, value = min + range*code/(65535|255)).
+  Stock Kaldi writes format 2 for matrices with <= 8 rows, which the
+  reference REJECTS (kaldi_io.py:104-107 "Unsupport format"); supporting it
+  closes that interchange gap with real Kaldi archives.
 
 Writer emits standard Kaldi binary float matrices. NOTE: the reference
 writer (kaldi_io.py:260-278) omits the space between the utterance id and
@@ -102,10 +107,22 @@ def read_matrix(buf, dtype_hint: Optional[str] = None) -> np.ndarray:
         raise ArkFormatError("not a Kaldi binary matrix (missing \\0B header)")
     kind = header[2:5]
     if kind[:1] == b"C":
-        if kind != b"CM " and kind[:2] != b"CM":
+        if kind in (b"CM2", b"CM3"):
+            # Kaldi token "CM2 "/"CM3 " is 4 bytes; consume its space.
+            buf.read(1)
+            min_value, value_range, rows, cols = _GLOBAL_HEADER.unpack(
+                buf.read(_GLOBAL_HEADER.size))
+            if kind == b"CM2":  # two bytes per element, row-major
+                data = np.frombuffer(buf.read(rows * cols * 2), dtype="<u2")
+                mat = min_value + value_range * (1.0 / 65535.0) * (
+                    data.astype(np.float64))
+            else:  # one byte per element, row-major
+                data = np.frombuffer(buf.read(rows * cols), dtype=np.uint8)
+                mat = min_value + value_range * (1.0 / 255.0) * (
+                    data.astype(np.float64))
+            return mat.reshape(rows, cols)
+        if kind != b"CM ":
             raise ArkFormatError(f"unsupported compressed format {kind!r}")
-        if kind[2:3] == b"2":
-            raise ArkFormatError("CM2 (one-byte-per-element) not supported")
         min_value, value_range, rows, cols = _GLOBAL_HEADER.unpack(
             buf.read(_GLOBAL_HEADER.size))
         if cols == 0:
@@ -215,6 +232,16 @@ def _encode_compressed(mat: np.ndarray) -> bytes:
     value_range = float(np.float32(mat64.max() - min_value))
     if value_range <= 0.0:
         value_range = 1.0  # Kaldi's guard for constant matrices
+
+    if rows <= 8:
+        # Stock Kaldi's kAutomaticMethod: too few rows for meaningful
+        # column percentiles -> format 2, two uint16 codes per element,
+        # row-major (compressed-matrix.cc kTwoByte).
+        codes = np.clip((mat64 - min_value) / value_range, 0.0, 1.0)
+        codes = np.floor(codes * 65535.0 + 0.499).astype("<u2")
+        return (b"\0BCM2 " + _GLOBAL_HEADER.pack(min_value, value_range,
+                                                 rows, cols)
+                + codes.tobytes())
 
     header = b"\0BCM " + _GLOBAL_HEADER.pack(min_value, value_range,
                                              rows, cols)

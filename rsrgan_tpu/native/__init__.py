@@ -72,6 +72,21 @@ class _ArkNative:
         return out
 
 
+def reload_native():
+    """(Re-)load libark_codec.so after an on-demand build; updates this
+    module's ``ark_native`` and the codec's cached handle. Returns the
+    binding or None."""
+    global ark_native
+    if os.path.isfile(_LIB_PATH):
+        try:
+            ark_native = _ArkNative(ctypes.CDLL(_LIB_PATH))
+        except OSError:  # pragma: no cover
+            ark_native = None
+    import rsrgan_tpu.data.kaldi_ark as _ka
+    _ka._native = ark_native
+    return ark_native
+
+
 ark_native = None
 if os.path.isfile(_LIB_PATH):
     try:

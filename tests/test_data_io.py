@@ -120,7 +120,9 @@ class TestArkCodec:
         for utt, m in mats.items():
             with open(ark, "rb") as f:
                 f.seek(dict((u, o) for u, p, o in reader.entries)[utt])
-                assert f.read(5) == b"\0BCM "
+                # Kaldi's automatic method: <= 8 rows -> format 2
+                expect = b"\0BCM2" if m.shape[0] <= 8 else b"\0BCM "
+                assert f.read(5) == expect
             got = reader.read_utt(utt)
             assert got.shape == m.shape
             # percentile quantization: inner 25-75 band has ~1/128 of the
@@ -131,6 +133,50 @@ class TestArkCodec:
             # bulk of the data should be much tighter than the loose bound
             med_err = np.median(np.abs(got - m))
             assert med_err <= max(span / 500.0, 1e-5)
+
+    def test_cm2_cm3_read_hand_built(self, tmp_path):
+        """Formats 2/3 from stock Kaldi (<= 8 rows): hand-built bytes ->
+        exact dequantization. The reference REJECTS these
+        (io_funcs/kaldi_io.py:104-107)."""
+        import struct
+
+        rows, cols = 3, 4
+        min_value, value_range = -2.0, 8.0
+        codes16 = np.arange(rows * cols, dtype="<u2") * 5000
+        codes8 = (np.arange(rows * cols, dtype=np.uint8) * 20)
+        ark = str(tmp_path / "cm23.ark")
+        with open(ark, "wb") as f:
+            pos2 = f.tell()
+            f.write(b"\0BCM2 ")
+            f.write(struct.pack("<ffii", min_value, value_range, rows, cols))
+            f.write(codes16.tobytes())
+            pos3 = f.tell()
+            f.write(b"\0BCM3 ")
+            f.write(struct.pack("<ffii", min_value, value_range, rows, cols))
+            f.write(codes8.tobytes())
+        m2 = read_ark_matrix(ark, pos2)
+        expect2 = (min_value + value_range
+                   * codes16.astype(np.float64) / 65535.0).reshape(rows, cols)
+        np.testing.assert_allclose(m2, expect2, rtol=0, atol=1e-12)
+        m3 = read_ark_matrix(ark, pos3)
+        expect3 = (min_value + value_range
+                   * codes8.astype(np.float64) / 255.0).reshape(rows, cols)
+        np.testing.assert_allclose(m3, expect3, rtol=0, atol=1e-12)
+
+    def test_cm2_write_read_roundtrip_accuracy(self, rng):
+        """CM2 is a uniform 16-bit quantizer: error <= range/65535."""
+        import io
+
+        from rsrgan_tpu.data.kaldi_ark import read_matrix, write_matrix
+
+        m = rng.normal(scale=5.0, size=(6, 11)).astype(np.float32)
+        buf = io.BytesIO()
+        write_matrix(buf, m, compress=True)
+        buf.seek(0)
+        got = read_matrix(buf)
+        assert got.shape == m.shape
+        step = (float(m.max()) - float(m.min())) / 65535.0
+        assert np.max(np.abs(got - m)) <= step
 
     def test_compressed_write_rejects_bad_input(self, tmp_path):
         from rsrgan_tpu.data.kaldi_ark import _encode_compressed

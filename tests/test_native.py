@@ -1,4 +1,7 @@
-"""Native ark codec parity tests (skipped until build.sh has run)."""
+"""Native ark codec parity tests (builds the codec on demand)."""
+
+import os
+import subprocess
 
 import numpy as np
 import pytest
@@ -10,9 +13,20 @@ try:
 except Exception:
     ark_native = None
 
+if ark_native is None:  # build it (seconds) instead of skipping
+    build = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "rsrgan_tpu", "native", "build.sh")
+    try:
+        subprocess.run(["bash", build], check=True, capture_output=True,
+                       timeout=120)
+        import rsrgan_tpu.native as _nat
+        ark_native = _nat.reload_native()
+    except Exception:
+        ark_native = None
+
 pytestmark = pytest.mark.skipif(
     ark_native is None,
-    reason="libark_codec.so not built (bash rsrgan_tpu/native/build.sh)")
+    reason="libark_codec.so build failed (bash rsrgan_tpu/native/build.sh)")
 
 
 def test_decode_compressed_matches_numpy(rng):
