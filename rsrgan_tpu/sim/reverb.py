@@ -176,23 +176,33 @@ def pick_item_with_probability(rng: np.random.Generator, items):
 # DSP
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("out_len",))
-def _fft_convolve_jit(signal: jnp.ndarray, kernel: jnp.ndarray,
-                      out_len: int) -> jnp.ndarray:
-    n = signal.shape[0] + kernel.shape[0] - 1
-    nfft = 1 << (n - 1).bit_length()
-    S = jnp.fft.rfft(signal, nfft)
-    K = jnp.fft.rfft(kernel, nfft)
-    full = jnp.fft.irfft(S * K, nfft)[:n]
-    return full[:out_len]
+@jax.jit
+def _fft_convolve_padded(signal: jnp.ndarray,
+                         kernel: jnp.ndarray) -> jnp.ndarray:
+    """Circular convolution of two same-length (power-of-two) buffers.
+
+    Inputs are zero-padded on the host to the next power of two >= the
+    linear-convolution length, so the circular result equals the linear
+    one. Shapes are bucketed to powers of two -> ONE compile per bucket
+    instead of one per utterance length (compiles cost ~10s+ on this
+    host's remote-compile path).
+    """
+    nfft = signal.shape[0]
+    return jnp.fft.irfft(jnp.fft.rfft(signal) * jnp.fft.rfft(kernel), nfft)
 
 
 def fft_convolve(signal: np.ndarray, kernel: np.ndarray,
                  out_len: Optional[int] = None) -> np.ndarray:
-    out_len = out_len or (len(signal) + len(kernel) - 1)
-    return np.asarray(_fft_convolve_jit(jnp.asarray(signal, jnp.float32),
-                                        jnp.asarray(kernel, jnp.float32),
-                                        out_len))
+    n = len(signal) + len(kernel) - 1
+    out_len = out_len or n
+    nfft = 1 << (n - 1).bit_length()
+    sp = np.zeros(nfft, np.float32)
+    sp[:len(signal)] = signal
+    kp = np.zeros(nfft, np.float32)
+    kp[:len(kernel)] = kernel
+    full = np.asarray(_fft_convolve_padded(jnp.asarray(sp),
+                                           jnp.asarray(kp)))[:n]
+    return full[:out_len]
 
 
 def reverberate(speech: np.ndarray, rir: np.ndarray,
