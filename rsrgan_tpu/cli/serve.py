@@ -39,12 +39,13 @@ def log(msg: str) -> None:
 
 
 def load_generator_params(args):
-    """The flagship generator's param tree from a training checkpoint."""
+    """The generator's param tree from a training checkpoint."""
     from rsrgan_tpu.cli.train import build_trainer, model_name
+    from rsrgan_tpu.serving.streaming import SUPPORTED_VARIANTS
     from rsrgan_tpu.training import load_checkpoint
 
-    if args.g_type != "res_lstm_l":
-        raise SystemExit("serve supports the flagship --g_type=res_lstm_l "
+    if args.g_type not in SUPPORTED_VARIANTS:
+        raise SystemExit(f"serve supports --g_type in {SUPPORTED_VARIANTS} "
                          f"(got {args.g_type})")
     trainer = build_trainer(args, jnp.float32)
     rng = jax.random.PRNGKey(0)
@@ -75,11 +76,14 @@ def main(argv=None) -> int:
     p.add_argument("--left_context", type=int, default=0)
     p.add_argument("--right_context", type=int, default=0)
     p.add_argument("--keep_prob", type=float, default=1.0)
-    p.add_argument("--batch_norm", default=False)
+    from rsrgan_tpu.cli.train import str2bool
+    p.add_argument("--batch_norm", type=str2bool, nargs="?", const=True,
+                   default=False)
     p.add_argument("--l2_scale", type=float, default=0.0)
     p.add_argument("--disc_updates", type=int, default=1)
     p.add_argument("--gen_updates", type=int, default=2)
-    p.add_argument("--bf16", default=False)
+    p.add_argument("--bf16", type=str2bool, nargs="?", const=True,
+                   default=False)
     p.add_argument("--lstm_impl", default="scan",
                    help="impl used only to LOAD the checkpoint tree")
     p.add_argument("--moving_average", action="store_true")
@@ -99,7 +103,7 @@ def main(argv=None) -> int:
     _, labels_cmvn = load_cmvn_npz(cmvn_path)
 
     store = UtteranceStore(read_list_file(args.test_list_file))
-    enhancer = StreamingEnhancer(params)
+    enhancer = StreamingEnhancer(params, variant=args.g_type)
 
     out_dir = args.output_dir or os.path.join(args.save_dir, "stream")
     os.makedirs(out_dir, exist_ok=True)

@@ -1,17 +1,29 @@
-"""Streaming (chunked) enhancement for the res_lstm_l flagship.
+"""Streaming (chunked) enhancement for the causal generator zoo.
 
 The reference enhances whole utterances offline (batch-1 decode,
 scripts/train_gan_rnn_placeholder.py:279-291). For online serving a
 dereverberation front-end must process audio in small chunks with bounded
-latency. The res_lstm_l generator is causal (unidirectional LSTMs +
-per-frame dense), so chunked processing with carried recurrent state is
-EXACT: this module recomputes the generator forward from the trained
-parameter tree with explicit (c, h) state threading and a jitted
-per-chunk step.
+latency. Every LSTM generator is causal (unidirectional LSTMs + per-frame
+dense), so chunked processing with carried recurrent state is EXACT: this
+module recomputes the generator forward from the trained parameter tree
+with explicit (c, h) state threading and a jitted per-chunk step.
+
+Supported wirings (validated against the checkpoint's parameter tree, so
+feeding a mismatched checkpoint raises instead of silently producing
+garbage):
+
+* ``res_lstm_l``  — 4 layers, layer residual (models/res_lstm_l.py)
+* ``res_lstm_base`` — 4 stacked layers, no residual (res_lstm_base.py)
+* ``res_lstm_i``  — 2 layers, input residual (res_lstm_i.py)
+* ``lstm``        — leakyrelu input projection + 3 stacked cells
+  (models/lstm.py)
+
+``bnlstm`` is rejected: its recurrent batch-norm cell depends on per-step
+moving statistics that the plain LSTM recurrence cannot reproduce.
 
 Usage::
 
-    enhancer = StreamingEnhancer(params)        # flax params of the G
+    enhancer = StreamingEnhancer(params, variant="res_lstm_l")
     state = enhancer.init_state(batch=1)
     for chunk in chunks:                         # [B, T_chunk, 257]
         out, state = enhancer.step(chunk, state) # [B, T_chunk, 40]
@@ -24,6 +36,11 @@ from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from rsrgan_tpu.ops.common import leakyrelu
+
+_RES_VARIANTS = ("res_lstm_l", "res_lstm_base", "res_lstm_i")
+SUPPORTED_VARIANTS = _RES_VARIANTS + ("lstm",)
 
 
 def _cell_step(params, forget_bias, carry, x_t):
@@ -43,41 +60,99 @@ def _cell_step(params, forget_bias, carry, x_t):
     return (c_new, h_new), h_new
 
 
-@functools.partial(jax.jit, static_argnames=("num_layers", "forget_bias"))
-def _stream_step(params, state, chunk, num_layers, forget_bias):
+@functools.partial(jax.jit,
+                   static_argnames=("variant", "num_layers", "forget_bias"))
+def _stream_step(params, state, chunk, variant, num_layers, forget_bias):
     x = jnp.swapaxes(chunk, 0, 1)  # [T, B, P]
     new_state = []
+
+    def run_cell(cell_params, k, seq):
+        carry, out = jax.lax.scan(
+            functools.partial(_cell_step, cell_params, forget_bias),
+            state[k], seq)
+        new_state.append(carry)
+        return out
+
+    if variant == "lstm":
+        d0 = params["Dense_0"]
+        h = leakyrelu(x @ d0["kernel"] + d0["bias"])
+        cells = params["StackedLstm_0"]
+        for k in range(num_layers):
+            h = run_cell(cells[f"cell_{k}"], k, h)
+        dN = params["Dense_1"]
+        y = h @ dN["kernel"] + dN["bias"]
+        return jnp.swapaxes(y, 0, 1), new_state
+
     layer_in = x
     for k in range(num_layers):
-        cell = params[f"lstm_cell_{k + 1}"]
-        carry, out = jax.lax.scan(
-            functools.partial(_cell_step, cell, forget_bias),
-            state[k], layer_in)
-        new_state.append(carry)
-        layer_in = out + layer_in  # res_lstm_l layer residual
+        out = run_cell(params[f"lstm_cell_{k + 1}"], k, layer_in)
+        if variant == "res_lstm_l":
+            layer_in = out + layer_in  # layer residual
+        elif variant == "res_lstm_i":
+            layer_in = out + x  # input residual (original inputs)
+        else:  # res_lstm_base: plain stack
+            layer_in = out
     dense = params["forward_out"]
     y = layer_in @ dense["kernel"] + dense["bias"]
     return jnp.swapaxes(y, 0, 1), new_state
 
 
 class StreamingEnhancer:
-    """Chunked res_lstm_l generator forward with carried state."""
+    """Chunked generator forward with carried state, variant-aware."""
 
-    def __init__(self, params, forget_bias: float = 1.0):
-        """``params``: the generator's flax param dict (lstm_cell_1..4 +
-        forward_out), e.g. ``state.g.params`` from a checkpoint. Params
-        stay TRACED arguments of the jitted step (hot-swappable; no
-        giant baked-in constants)."""
+    def __init__(self, params, variant: str = "res_lstm_l",
+                 forget_bias: float = 1.0):
+        """``params``: the generator's flax param dict, e.g.
+        ``state.g.params`` from a checkpoint. Params stay TRACED arguments
+        of the jitted step (hot-swappable; no giant baked-in constants).
+
+        Raises ``ValueError`` when ``variant`` is unsupported or the
+        parameter tree does not match the variant's expected wiring.
+        """
+        if variant not in SUPPORTED_VARIANTS:
+            raise ValueError(
+                f"StreamingEnhancer does not support variant {variant!r} "
+                f"(supported: {SUPPORTED_VARIANTS}); bnlstm's recurrent "
+                "batch-norm cannot be streamed exactly")
         self.params = params
+        self.variant = variant
         self.forget_bias = float(forget_bias)
-        self.num_layers = len([k for k in params if k.startswith("lstm_cell")])
-        self.num_units = params["lstm_cell_1"]["proj_kernel"].shape[0]
-        self.num_proj = params["lstm_cell_1"]["proj_kernel"].shape[1]
+
+        if variant == "lstm":
+            stack = params.get("StackedLstm_0")
+            if (stack is None or "Dense_0" not in params
+                    or "Dense_1" not in params):
+                raise ValueError(
+                    "parameter tree does not look like models/lstm.py "
+                    "(expected Dense_0 + StackedLstm_0 + Dense_1; got "
+                    f"{sorted(params)})")
+            self._cells = [stack[f"cell_{k}"]
+                           for k in range(len(
+                               [k for k in stack if k.startswith("cell_")]))]
+        else:
+            names = sorted(k for k in params if k.startswith("lstm_cell_"))
+            expected = 2 if variant == "res_lstm_i" else 4
+            if len(names) != expected or "forward_out" not in params:
+                raise ValueError(
+                    f"parameter tree does not match {variant} (expected "
+                    f"{expected} lstm_cell_* + forward_out; got "
+                    f"{sorted(params)})")
+            self._cells = [params[n] for n in names]
+        for cell in self._cells:
+            missing = {"kernel", "bias", "proj_kernel", "w_i_diag",
+                       "w_f_diag", "w_o_diag"} - set(cell)
+            if missing:
+                raise ValueError(
+                    f"LSTM cell params missing {sorted(missing)} — not a "
+                    "peephole-projection cell checkpoint")
+        self.num_layers = len(self._cells)
+        self.num_units = self._cells[0]["proj_kernel"].shape[0]
+        self.num_proj = self._cells[0]["proj_kernel"].shape[1]
 
     def init_state(self, batch: int) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
-        return [(jnp.zeros((batch, self.num_units), jnp.float32),
-                 jnp.zeros((batch, self.num_proj), jnp.float32))
-                for _ in range(self.num_layers)]
+        return [(jnp.zeros((batch, c["proj_kernel"].shape[0]), jnp.float32),
+                 jnp.zeros((batch, c["proj_kernel"].shape[1]), jnp.float32))
+                for c in self._cells]
 
     def step(self, chunk: jnp.ndarray, state):
         """[B, T_chunk, P] -> ([B, T_chunk, out], new state).
@@ -85,5 +160,5 @@ class StreamingEnhancer:
         Exact continuation: feeding chunks back-to-back reproduces the
         whole-utterance forward bit-for-bit (see tests).
         """
-        return _stream_step(self.params, state, chunk, self.num_layers,
-                            self.forget_bias)
+        return _stream_step(self.params, state, chunk, self.variant,
+                            self.num_layers, self.forget_bias)
