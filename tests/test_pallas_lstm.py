@@ -137,17 +137,21 @@ def test_coarsened_reverse_blocks_match_scan(rng):
                                        atol=2e-4)
 
 
-def test_layer_bwd_row_offset_paths(rng):
+def _check_layer_bwd_row_offsets(rng, B_, atol):
     """lstm_layer_bwd must give identical results whether it reads a
     skewed array in place (aligned offset -> offset index maps) or falls
     back to explicit de-skew slices (misaligned offset)."""
     import jax.numpy as jnp
     from rsrgan_tpu.ops import pallas_lstm as pk
 
-    T_, B_, U_, P_ = 12, 2, 8, 5
+    T_, U_, P_ = 12, 8, 5
     Up = pk._round_up(U_, 128)
     G = 4 * Up
-    pad = 6  # skew offset in rows
+    acc = B_ >= pk._ACC_BWD_MIN_BATCH
+    R = pk.bwd_rows_per_step(T_, B_, Up, P_, 4, grads_in_kernel=acc)
+    assert R > 1, "need R>1 to exercise a misaligned offset"
+    pad = R + R // 2  # misaligned: pad % R != 0
+    assert pad % R != 0
     acts = jnp.asarray(rng.uniform(0.1, 0.9, (pad + T_ + 2, B_, G)),
                        jnp.float32)
     c_hist = jnp.asarray(rng.normal(size=(pad + T_ + 2, B_, Up)),
@@ -168,14 +172,30 @@ def test_layer_bwd_row_offset_paths(rng):
 
     ref = run(acts[pad:pad + T_], c_hist[pad:pad + T_],
               h_hist[pad:pad + T_], 0)
-    # T=12 -> R=4; offset 6 % 4 != 0 -> explicit-slice fallback
+    # pad % R != 0 -> explicit-slice fallback
     mis = run(acts, c_hist, h_hist, pad)
-    # offset 8 % 4 == 0 -> in-place offset index maps
-    acts8 = jnp.concatenate([jnp.zeros((2,) + acts.shape[1:]), acts])
-    c8 = jnp.concatenate([jnp.zeros((2,) + c_hist.shape[1:]), c_hist])
-    h8 = jnp.concatenate([jnp.zeros((2,) + h_hist.shape[1:]), h_hist])
-    ali = run(acts8, c8, h8, pad + 2)
+    # pad + extra aligned to R -> in-place offset index maps
+    extra = R - pad % R
+    acts_a = jnp.concatenate([jnp.zeros((extra,) + acts.shape[1:]), acts])
+    c_a = jnp.concatenate([jnp.zeros((extra,) + c_hist.shape[1:]), c_hist])
+    h_a = jnp.concatenate([jnp.zeros((extra,) + h_hist.shape[1:]), h_hist])
+    assert (pad + extra) % R == 0
+    ali = run(acts_a, c_a, h_a, pad + extra)
     for a, b in zip(mis, ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
     for a, b in zip(ali, ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=atol)
+
+
+def test_layer_bwd_row_offset_paths(rng):
+    """Streamed backward variant (small B)."""
+    _check_layer_bwd_row_offsets(rng, 2, 1e-6)
+
+
+def test_layer_bwd_row_offset_paths_acc_variant(rng):
+    """In-kernel-accumulator backward variant (B >= _ACC_BWD_MIN_BATCH)
+    with aligned and misaligned row offsets — the path training hits at
+    B>=32 with the wavefront generator (advisor round-1 finding)."""
+    from rsrgan_tpu.ops.pallas_lstm import _ACC_BWD_MIN_BATCH
+
+    _check_layer_bwd_row_offsets(rng, _ACC_BWD_MIN_BATCH, 1e-5)
