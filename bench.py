@@ -112,14 +112,65 @@ def main() -> None:
         reps.append((time.perf_counter() - t0) / STEPS)
     dt = min(reps)
 
-    frames_per_sec = B * T / dt
-    print(json.dumps({
+    # Indisputable numbers (round-1 VERDICT item 4): true-frame
+    # throughput (padded frames overstate by ~10% at lengths in
+    # [0.8T, T]), a FLOP count, and the model-FLOP fraction of peak (MFU).
+    true_frames = float(np.sum(np.asarray(lengths)))
+
+    # XLA's own count for the compiled step. NOTE: it attributes ZERO
+    # flops to custom calls, i.e. every Pallas LSTM kernel -> a large
+    # UNDERCOUNT here; reported for transparency, not used for MFU.
+    xla_flops_per_step = None
+    try:
+        # .lower through the instance attribute loses the self binding on
+        # jitted methods -> call it on the class with self explicit
+        cost = (type(trainer).train_multi_step
+                .lower(trainer, state, xs, ys, ls, hp, key).compile()
+                .cost_analysis())
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        xla_flops_per_step = float(cost["flops"]) / STEPS
+    except Exception:
+        pass  # cost_analysis availability varies by backend/version
+
+    # Analytic model FLOPs, matmul-dominated: 2*params per frame forward,
+    # 3x for fwd+bwd. Per training iteration (1 D step + 2 G steps,
+    # gan.py): D step = G fwd (1g) + D fwd+bwd (3d); each G step =
+    # G fwd+bwd (3g) + D fwd + D input-bwd (2d).
+    n_g = sum(int(np.prod(p.shape))
+              for p in jax.tree.leaves(state.g.params))
+    n_d = sum(int(np.prod(p.shape))
+              for p in jax.tree.leaves(state.d.params))
+    g_fwd, d_fwd = 2.0 * n_g, 2.0 * n_d
+    per_frame = (1 * (g_fwd + 3 * d_fwd)
+                 + 2 * (3 * g_fwd + 2 * d_fwd))
+    model_flops_per_step = per_frame * true_frames
+
+    PEAK_BF16_FLOPS = 394e12 / 2  # v5e: 394 TOPS int8 -> 197 TFLOP/s bf16
+    out = {
         "metric": "gan_train_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 1),
-        "unit": "frames/s/chip (1 D + 2 G steps per batch, B=16 T=500)",
+        "value": round(B * T / dt, 1),
+        "unit": "padded frames/s/chip (1 D + 2 G steps per batch, "
+                "B=16 T=500)",
         "vs_baseline": round(
-            frames_per_sec / BASELINE_EST_FRAMES_PER_SEC_PER_GPU, 2),
-    }))
+            (B * T / dt) / BASELINE_EST_FRAMES_PER_SEC_PER_GPU, 2),
+        "vs_baseline_note": "divisor is an ENGINEERING ESTIMATE (5000 "
+                            "frames/s/GPU for the TF1.4 reference; it "
+                            "publishes no numbers, BASELINE.md)",
+        "true_frames_per_sec": round(true_frames / dt, 1),
+        "step_wall_ms": round(dt * 1e3, 3),
+        "model_tflops_per_sec": round(model_flops_per_step / dt / 1e12, 2),
+        "mfu": round(model_flops_per_step / dt / PEAK_BF16_FLOPS, 4),
+        "mfu_note": "analytic model FLOPs (2*params/frame fwd, 3x "
+                    "fwd+bwd, 7g+7d per iteration) over TRUE frames / "
+                    "197 TFLOP/s bf16 peak",
+    }
+    if xla_flops_per_step is not None:
+        out["xla_counted_tflops_per_sec"] = round(
+            xla_flops_per_step / dt / 1e12, 2)
+        out["xla_flops_note"] = ("cost_analysis excludes custom-call "
+                                 "(Pallas) kernels - undercount")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

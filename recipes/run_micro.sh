@@ -75,6 +75,10 @@ python -m rsrgan_tpu.cli.train \
   --left_context=0 --right_context=0 \
   --batch_size=1 --keep_prob=1.0 --l2_scale=0.0
 
+echo "=== stage 4: compiled-on-TPU kernel parity ==="
+sleep 15   # full tunnel release (5 s can hang the next client on a futex)
+python tools/tpu_parity_check.py
+
 echo "=== verify decode output ==="
 python - "$save_dir" <<'EOF'
 import sys

@@ -79,19 +79,22 @@ def main() -> None:
               f"({B * T / min(reps):,.0f} frames/s)", flush=True)
         return min(reps)
 
-    def chain(f, x0):
+    def chain(f):
         """K sequential applications under one jit; the carry feeds the
-        next input so reps cannot overlap or be CSE'd away."""
+        next input so reps cannot overlap or be CSE'd away. The batch and
+        params are jit ARGUMENTS, not closure captures — closed-over
+        arrays become HLO constants, which the axon remote-compile
+        endpoint rejects for large programs (HTTP 413, CLAUDE.md)."""
 
-        def body(c, _):
-            c = c + 1e-30 * jnp.sum(f(x0 + c))  # scalar dependency chain
-            return c, ()
+        def run(x0, *ps):
+            def body(c, _):
+                c = c + 1e-30 * jnp.sum(f(x0 + c, *ps))  # scalar dep chain
+                return c, ()
 
-        def run(x):
             c, _ = jax.lax.scan(body, jnp.zeros(()), None, length=K)
             return c
 
-        return jax.jit(lambda: run(x0))
+        return jax.jit(run)
 
     xg = jnp.asarray(rng.normal(size=(B, T, 257)), jnp.float32)
     xd = jnp.asarray(rng.normal(size=(B, T, 40)), jnp.float32)
@@ -99,41 +102,41 @@ def main() -> None:
     lg = jnp.full((B,), T, jnp.int32)
     ld2 = jnp.full((2 * B,), T, jnp.int32)
 
-    def g_fwd(x):
-        return lstm_stack_wavefront(x, lg, g_params, residual=True,
+    def g_fwd(x, ps):
+        return lstm_stack_wavefront(x, lg, ps, residual=True,
                                     compute_dtype=jnp.bfloat16)
 
-    def g_infer(x):
+    def g_infer(x, ps):
         # decode path: no saved-activation stream (save_acts=False)
-        return lstm_stack_wavefront(x, lg, g_params, residual=True,
+        return lstm_stack_wavefront(x, lg, ps, residual=True,
                                     compute_dtype=jnp.bfloat16,
                                     save_acts=False)
 
-    def g_fwdbwd(x):
-        def loss(ps):
-            y = lstm_stack_wavefront(x, lg, ps, residual=True,
+    def g_fwdbwd(x, ps):
+        def loss(p):
+            y = lstm_stack_wavefront(x, lg, p, residual=True,
                                      compute_dtype=jnp.bfloat16)
             return jnp.sum(y * y)
-        g = jax.grad(loss)(g_params)
+        g = jax.grad(loss)(ps)
         return g[0]["kernel"]
 
-    def d_fwd2b(x):
-        return lstm_stack_wavefront(x, ld2, d_params, residual=False,
+    def d_fwd2b(x, ps):
+        return lstm_stack_wavefront(x, ld2, ps, residual=False,
                                     compute_dtype=jnp.bfloat16)
 
-    def d_fwdbwd(x):
+    def d_fwdbwd(x, ps):
         def loss(xin):
-            y = lstm_stack_wavefront(xin, lg, d_params, residual=False,
+            y = lstm_stack_wavefront(xin, lg, ps, residual=False,
                                      compute_dtype=jnp.bfloat16)
             return jnp.sum(y * y)
         return jax.grad(loss)(x)
 
     if "full" not in sys.argv[3:]:   # arg "full" -> only the full step
-        timeit("g_infer", chain(g_infer, xg))
-        timeit("g_fwd", chain(g_fwd, xg))
-        timeit("g_fwdbwd", chain(g_fwdbwd, xg))
-        timeit("d_fwd2b", chain(d_fwd2b, xd2))
-        timeit("d_fwdbwd", chain(d_fwdbwd, xd))
+        timeit("g_infer", chain(g_infer), xg, g_params)
+        timeit("g_fwd", chain(g_fwd), xg, g_params)
+        timeit("g_fwdbwd", chain(g_fwdbwd), xg, g_params)
+        timeit("d_fwd2b", chain(d_fwd2b), xd2, d_params)
+        timeit("d_fwdbwd", chain(d_fwdbwd), xd, d_params)
 
     # full training step (1 D + 2 G), same construction as bench.py
     from rsrgan_tpu.models import get_discriminator, get_generator

@@ -19,11 +19,35 @@ import jax
 import jax.numpy as jnp
 
 
+def _arm_tunnel_watchdog() -> None:
+    """Same workaround as bench.py: if the previous TPU process hasn't
+    fully released the tunnel, the first device op hangs on a futex
+    forever. Re-exec once after a cooldown if it doesn't come up."""
+    import signal
+    import time
+
+    def on_alarm(signum, frame):
+        if os.environ.get("RSRGAN_PARITY_RETRY"):
+            raise TimeoutError("TPU tunnel did not come up after retry")
+        os.environ["RSRGAN_PARITY_RETRY"] = "1"
+        print("WARNING: TPU init stalled; retrying once after cooldown",
+              flush=True)
+        time.sleep(30)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(180)
+
+
 def main() -> None:
+    import signal
+
+    _arm_tunnel_watchdog()
     cache_dir = os.path.expanduser("~/.cache/rsrgan_xla")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     float(jnp.ones(()) + 1)
+    signal.alarm(0)
 
     from rsrgan_tpu.models.discriminators import LstmDiscriminator
     from rsrgan_tpu.models.recurrent import ResLstmGenerator
