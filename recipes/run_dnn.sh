@@ -26,7 +26,7 @@ if [ $stage -le 2 ]; then
 fi
 
 if [ $stage -le 3 ]; then
-  sleep 5
+  sleep 15   # full tunnel release (5 s can leave the next client on a futex)
   python -m rsrgan_tpu.cli.train \
     --decode --trainer=dnn --g_type=dnn \
     --data_dir=$train_dir \

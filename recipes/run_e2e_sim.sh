@@ -43,22 +43,22 @@ python -m rsrgan_tpu.cli.simulate \
   --output_dir=$workdir/sim/rvb \
   --foreground_snrs=5:20 --background_snrs=5:20 \
   --random_seed=1
-sleep 5
+sleep 15   # full tunnel release (5 s can leave the next client on a futex)
 
 echo "== stage 2: feature extraction (LPS inputs / MFCC labels) =="
 python -m rsrgan_tpu.cli.extract \
   --wav_scp=$workdir/sim/rvb/wav.scp --feat_type=spectrogram \
   --output_dir=$train_dir --name=inputs --accumulate_cmvn
-sleep 5
+sleep 15   # full tunnel release (5 s can leave the next client on a futex)
 python -m rsrgan_tpu.cli.extract \
   --wav_scp=$workdir/sim/clean/wav.scp --feat_type=mfcc \
   --output_dir=$train_dir --name=labels --accumulate_cmvn
-sleep 5
+sleep 15   # full tunnel release (5 s can leave the next client on a futex)
 # no-enhancement baseline: MFCC computed directly on the corrupted audio
 python -m rsrgan_tpu.cli.extract \
   --wav_scp=$workdir/sim/rvb/wav.scp --feat_type=mfcc \
   --output_dir=$workdir/baseline --name=rvb_mfcc
-sleep 5
+sleep 15   # full tunnel release (5 s can leave the next client on a futex)
 
 echo "== stage 3: cmvn + split + stores =="
 python -m rsrgan_tpu.cli.prepare cmvn \
@@ -80,7 +80,7 @@ python -m rsrgan_tpu.cli.prepare make-store --test \
 echo "$train_dir/stores/test.rtu" > $train_dir/test.list
 
 echo "== stage 4: train flagship GAN =="
-sleep 5
+sleep 15   # full tunnel release (5 s can leave the next client on a futex)
 python -m rsrgan_tpu.cli.train \
   --trainer=gan_rnn --g_type=res_lstm_l \
   --data_dir=$train_dir \
@@ -96,7 +96,7 @@ python -m rsrgan_tpu.cli.train \
   --lstm_impl=wavefront --l2_scale=0.0
 
 echo "== stage 5: decode (enhance the corrupted cv set) =="
-sleep 5
+sleep 15   # full tunnel release (5 s can leave the next client on a futex)
 python -m rsrgan_tpu.cli.train \
   --decode --trainer=gan_rnn --g_type=res_lstm_l \
   --data_dir=$train_dir --test_list_file=$train_dir/test.list \

@@ -71,7 +71,7 @@ if [ $stage -le 2 ]; then
       --end_improve=0.001 \
       --init_disc_noise_std=0.05 \
       --num_gpu=1
-    sleep 5
+    sleep 15   # full tunnel release (5 s can leave the next client on a futex)
   done
 fi
 

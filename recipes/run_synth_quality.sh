@@ -36,7 +36,7 @@ python -m rsrgan_tpu.cli.prepare make-store --test \
   --output_dir=$train_dir/stores --name=test
 echo "$train_dir/stores/test.rtu" > $train_dir/test.list
 
-sleep 5
+sleep 15   # full tunnel release (5 s can leave the next client on a futex)
 python -m rsrgan_tpu.cli.train \
   --trainer=gan_rnn --g_type=res_lstm_l \
   --data_dir=$train_dir \
@@ -51,7 +51,7 @@ python -m rsrgan_tpu.cli.train \
   --init_disc_noise_std=0.05 \
   --lstm_impl=wavefront --l2_scale=0.0
 
-sleep 5
+sleep 15   # full tunnel release (5 s can leave the next client on a futex)
 python -m rsrgan_tpu.cli.train \
   --decode --trainer=gan_rnn --g_type=res_lstm_l \
   --data_dir=$train_dir --test_list_file=$train_dir/test.list \
