@@ -98,13 +98,15 @@ def main(argv=None) -> int:
     p.add_argument("--compress", action="store_true",
                    help="write Kaldi CompressedMatrix arks "
                         "(copy-feats --compress=true equivalent)")
+    p.add_argument("--text", action="store_true",
+                   help="write a Kaldi TEXT archive (ark,t: equivalent)")
     args = p.parse_args(argv)
 
     frame_opts = FrameOptions(dither=args.dither)
     os.makedirs(args.output_dir, exist_ok=True)
     scp_path = os.path.join(args.output_dir, args.name + ".scp")
     ark_path = os.path.join(args.output_dir, args.name + ".ark")
-    writer = ArkWriter(scp_path, compress=args.compress)
+    writer = ArkWriter(scp_path, compress=args.compress, text=args.text)
     acc = None
 
     extractor = JitExtractor(args.feat_type, frame_opts, args.dither > 0)

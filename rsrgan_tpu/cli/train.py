@@ -660,7 +660,7 @@ def run_decode(args) -> int:
     out_dir = os.path.join(args.save_dir, "test")
     os.makedirs(out_dir, exist_ok=True)
     writer = ArkWriter(os.path.join(out_dir, "feats.scp"),
-                       compress=args.compress)
+                       compress=args.compress, text=args.text)
     ark_path = os.path.join(out_dir, "feats.ark")
 
     if hasattr(state, "g") and args.trainer == "segan":
@@ -800,6 +800,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default=False,
                    help="write decoded feats.ark as Kaldi CompressedMatrix "
                         "(copy-feats --compress=true equivalent)")
+    p.add_argument("--text", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="write decoded feats.ark as a Kaldi TEXT archive "
+                        "(copy-feats ark,t: equivalent)")
     p.add_argument("--coordinator_address", type=str, default="",
                    help="host:port of process 0; enables multi-host data "
                         "parallelism over DCN (jax.distributed)")

@@ -15,6 +15,9 @@ at io_funcs/kaldi_io.py:24-283:
   Stock Kaldi writes format 2 for matrices with <= 8 rows, which the
   reference REJECTS (kaldi_io.py:104-107 "Unsupport format"); supporting it
   closes that interchange gap with real Kaldi archives.
+* TEXT archives ("utt  [\\n row...\\n row ]") as produced/consumed by
+  ``copy-feats ark,t:`` -- read and write (the reference has no text-mode
+  support at all).
 
 Writer emits standard Kaldi binary float matrices. NOTE: the reference
 writer (kaldi_io.py:260-278) omits the space between the utterance id and
@@ -100,11 +103,44 @@ def _decode_compressed(payload: bytes, min_value: float, value_range: float,
     return np.ascontiguousarray(out.T)  # column-major payload -> [rows, cols]
 
 
+def _read_text_matrix(buf, first: bytes) -> np.ndarray:
+    """Parse a Kaldi TEXT matrix ("[\\n r0c0 r0c1\\n r1c0 r1c1 ]") from a
+    file object; ``first`` holds bytes already consumed by the caller."""
+    chunks = [first]
+    while b"]" not in chunks[-1]:
+        chunk = buf.read(4096)
+        if not chunk:
+            raise ArkFormatError("unterminated text matrix (no ']')")
+        chunks.append(chunk)
+    blob = b"".join(chunks)
+    end = blob.index(b"]")
+    # leave anything after ']' (plus one newline) unconsumed for iter_ark
+    tail = blob[end + 1:]
+    if tail.startswith(b"\n"):
+        tail = tail[1:]
+    buf.seek(-len(tail), os.SEEK_CUR)
+    body = blob[:end].lstrip()
+    if not body.startswith(b"["):
+        raise ArkFormatError("text matrix must start with '['")
+    rows = [r for r in body[1:].decode("utf-8").strip().splitlines()
+            if r.strip()]
+    if not rows:
+        return np.zeros((0, 0), np.float32)
+    mat = [np.array(r.split(), dtype=np.float32) for r in rows]
+    cols = len(mat[0])
+    if any(len(r) != cols for r in mat):
+        raise ArkFormatError("ragged text matrix")
+    return np.stack(mat)
+
+
 def read_matrix(buf, dtype_hint: Optional[str] = None) -> np.ndarray:
-    """Read one binary Kaldi matrix from a file object positioned at "\0B"."""
+    """Read one Kaldi matrix (binary at "\0B", else text) from a file
+    object positioned at its first byte."""
     header = buf.read(5)
     if len(header) < 5 or header[1:2] != b"B":
-        raise ArkFormatError("not a Kaldi binary matrix (missing \\0B header)")
+        if header.lstrip()[:1] == b"[":
+            return _read_text_matrix(buf, header)
+        raise ArkFormatError("not a Kaldi matrix (no \\0B header or '[')")
     kind = header[2:5]
     if kind[:1] == b"C":
         if kind in (b"CM2", b"CM3"):
@@ -277,16 +313,32 @@ def _encode_compressed(mat: np.ndarray) -> bytes:
     return header + headers.tobytes() + quant.astype(np.uint8).tobytes()
 
 
+def _format_text_matrix(mat: np.ndarray) -> bytes:
+    """Kaldi text-mode matrix body (" [\\n  row\\n  row ]\\n"); floats at
+    9 significant digits so float32 values round-trip exactly."""
+    lines = [b" ["]
+    for row in mat:
+        lines.append(b"\n  " + " ".join(f"{v:.9g}" for v in row)
+                     .encode("ascii"))
+    lines.append(b" ]\n")
+    return b"".join(lines)
+
+
 class ArkWriter:
     """Write float32 matrices to .ark with a paired .scp (kaldi_io.py:244-283).
 
     Unlike the reference we keep the ark file handle open across writes and
     emit the Kaldi-standard space between utt id and binary marker.
+    ``text=True`` writes copy-feats ark,t:-style text archives instead.
     """
 
-    def __init__(self, scp_path: str, compress: bool = False):
+    def __init__(self, scp_path: str, compress: bool = False,
+                 text: bool = False):
+        if compress and text:
+            raise ValueError("text archives cannot be compressed")
         self.scp_path = scp_path
         self.compress = compress
+        self.text = text
         self._scp = open(scp_path, "w")
         self._arks = {}
 
@@ -304,7 +356,9 @@ class ArkWriter:
         ark.write(utt_id.encode("utf-8") + b" ")
         pos = ark.tell()
         use_compress = self.compress if compress is None else compress
-        if use_compress:
+        if self.text:
+            ark.write(_format_text_matrix(mat))
+        elif use_compress:
             ark.write(_encode_compressed(mat))
         else:
             ark.write(b"\0BFM ")

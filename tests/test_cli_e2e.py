@@ -130,6 +130,25 @@ def test_full_pipeline(corpus, tmp_path):
         span = max(float(m1.max() - m1.min()), 1e-3)
         assert np.abs(m1 - m2).max() <= span / 64.0
 
+    # decode with --text: Kaldi ark,t:-style archive, float32-exact
+    save_dir_t = str(tmp_path / "exp_t")
+    shutil.copytree(save_dir, save_dir_t,
+                    ignore=shutil.ignore_patterns("test"))
+    rc = train_cli.main([
+        "--decode", "--trainer=dnn", "--g_type=dnn", "--text",
+        f"--data_dir={data_dir}", f"--test_list_file={test_list}",
+        f"--save_dir={save_dir_t}", "--input_dim=16", "--output_dim=6",
+        "--left_context=2", "--right_context=2", "--batch_size=1",
+        "--bf16=false"])
+    assert rc == 0
+    t_ark = os.path.join(save_dir_t, "test", "feats.ark")
+    with open(t_ark, "rb") as f:
+        assert b"\0B" not in f.read()  # genuinely text
+    t_reader = ScpReader(os.path.join(save_dir_t, "test", "feats.scp"))
+    for (u1, m1), (u2, m2) in zip(reader, t_reader):
+        assert u1 == u2
+        np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
+
 
 def test_segan_pipeline(corpus, tmp_path):
     """SEGAN trainer end-to-end at toy depth (run_segan.sh parity)."""

@@ -178,6 +178,44 @@ class TestArkCodec:
         step = (float(m.max()) - float(m.min())) / 65535.0
         assert np.max(np.abs(got - m)) <= step
 
+    def test_text_ark_roundtrip(self, tmp_path, rng):
+        """ArkWriter(text=True) emits copy-feats ark,t:-style archives
+        readable via scp offsets AND sequentially; float32 exact."""
+        from rsrgan_tpu.data.kaldi_ark import iter_ark
+
+        mats = {"a": rng.normal(scale=3.0, size=(5, 4)).astype(np.float32),
+                "b": rng.normal(size=(1, 7)).astype(np.float32),
+                "c": np.array([[1e-20, -2.5e8, 0.0]], np.float32)}
+        scp = str(tmp_path / "t.scp")
+        ark = str(tmp_path / "t.ark")
+        with ArkWriter(scp, text=True) as w:
+            for utt, m in mats.items():
+                w.write_next_utt(ark, utt, m)
+        reader = ScpReader(scp)
+        for utt, m in mats.items():
+            np.testing.assert_array_equal(reader.read_utt(utt), m)
+        seq = dict(iter_ark(ark))
+        assert seq.keys() == mats.keys()
+        for utt, m in mats.items():
+            np.testing.assert_array_equal(seq[utt], m)
+
+    def test_text_ark_hand_written_kaldi_style(self, tmp_path):
+        """Exact Kaldi copy-feats ark,t: layout parses correctly."""
+        ark = tmp_path / "k.ark"
+        ark.write_bytes(b"utt1  [\n  1.5 -2 3.25 \n  4 5 6 ]\n"
+                        b"utt2  [\n  7 8 ]\n")
+        from rsrgan_tpu.data.kaldi_ark import iter_ark
+
+        got = dict(iter_ark(str(ark)))
+        np.testing.assert_array_equal(
+            got["utt1"], np.array([[1.5, -2, 3.25], [4, 5, 6]], np.float32))
+        np.testing.assert_array_equal(got["utt2"],
+                                      np.array([[7, 8]], np.float32))
+
+    def test_text_compress_conflict(self, tmp_path):
+        with pytest.raises(ValueError, match="cannot be compressed"):
+            ArkWriter(str(tmp_path / "x.scp"), compress=True, text=True)
+
     def test_compressed_write_rejects_bad_input(self, tmp_path):
         from rsrgan_tpu.data.kaldi_ark import _encode_compressed
         with np.testing.assert_raises(ValueError):
