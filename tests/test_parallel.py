@@ -83,8 +83,19 @@ def test_tp_sharded_state_runs(rng):
     out = np.asarray(trainer.infer_step(state_tp.g.params, xb, lb))
     np.testing.assert_allclose(out, ref_out, atol=1e-5)
 
-    # and a full train step executes under TP
+    # and a full train step under TP matches the single-device step
+    # (train_step donates the state arg and device_put may alias leaves
+    # into state_tp -> run the single-device step on a fresh copy)
     yb = shard_batch(mesh, y)
+    state_copy = jax.tree.map(
+        jnp.asarray, jax.tree.map(np.asarray, state))
+    s1, m1 = trainer.train_step(state_copy, x, y, lengths, HP,
+                                jax.random.PRNGKey(3))
     s2, m2 = trainer.train_step(state_tp, xb, yb, lb, HP,
                                 jax.random.PRNGKey(3))
-    assert np.isfinite(float(m2["g_loss"]))
+    for k in m1:
+        a, b = float(m1[k]), float(m2[k])
+        assert abs(a - b) < 1e-4 * (1 + abs(a)), (k, a, b)
+    for a, b in zip(jax.tree.leaves(jax.tree.map(np.asarray, s1.g.params)),
+                    jax.tree.leaves(jax.tree.map(np.asarray, s2.g.params))):
+        np.testing.assert_allclose(a, b, atol=1e-4)
