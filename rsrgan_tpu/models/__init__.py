@@ -58,17 +58,9 @@ def get_generator(g_type: str, *, input_dim: int, output_dim: int,
 def get_discriminator(d_type: str, *, keep_prob: float = 1.0,
                       compute_dtype: Any = jnp.float32,
                       lstm_impl: str = "scan"):
-    if lstm_impl == "wavefront":
-        # Measured three times across kernel generations, most recently
-        # after grid coarsening: the fused wavefront stack LOSES on the
-        # small D cells in the FULL training step (bench.py 425.8k
-        # frames/s with per-layer kernels vs 419-420k with the stack,
-        # 3 runs each) even though the ISOLATED module microbench leans
-        # the other way (tools/exp_d_impl.py: fwd 2B 1.68 vs 1.80 ms) —
-        # the step-level interplay (2B-row backward, XLA scheduling
-        # around the G kernels) dominates. Keep D on the per-layer
-        # kernel; StackedLstm(lstm_impl='wavefront') stays available.
-        lstm_impl = "pallas"
+    # "wavefront" passes through: LstmDiscriminator picks the backend per
+    # call shape (per-layer pallas below WAVEFRONT_MIN_ROWS rows, the
+    # fused stack above — see the measurement note on that constant).
     if d_type == "lstm":
         return LstmDiscriminator(keep_prob=keep_prob,
                                  compute_dtype=compute_dtype,

@@ -61,14 +61,26 @@ class LstmDiscriminator(nn.Module):
     compute_dtype: Any = jnp.float32
     lstm_impl: str = "scan"
 
+    # Row-count crossover for the fused wavefront stack on the small D
+    # cells, measured at the FULL-training-step level for B=16 (per-layer
+    # pallas wins: 425.8k vs 419-420k frames/s) and at module level for
+    # B=64/256 (wavefront wins 11-23%: tools/exp_d_impl.py, 2026-08-17).
+    # Calls see B rows (G-step D forwards) or 2B rows (stacked
+    # D(real)/D(fake) step), so the choice adapts per call shape.
+    WAVEFRONT_MIN_ROWS = 64
+
     @nn.compact
     def __call__(self, inputs, lengths=None, noise_std=0.0,
                  train: bool = False):
         h = inputs
         if self.has_rng("noise"):
             h = gaussian_noise(self.make_rng("noise"), h, noise_std)
+        impl = self.lstm_impl
+        if (impl == "wavefront"
+                and inputs.shape[0] < self.WAVEFRONT_MIN_ROWS):
+            impl = "pallas"
         h = StackedLstm(self.num_layers, self.cell_size, self.num_projection,
                         compute_dtype=self.compute_dtype,
-                        lstm_impl=self.lstm_impl,
+                        lstm_impl=impl,
                         dropout_keep_prob=self.keep_prob)(h, lengths, train)
         return nn.Dense(1, kernel_init=_GLOROT)(h)  # [B, T, 1]

@@ -2,7 +2,7 @@
 per-layer pallas kernels vs the fused wavefront stack, at the shapes the
 trainer uses (2B-row stacked D-step forward; B-row G-step fwd+bwd).
 
-Usage: python tools/exp_d_impl.py
+Usage: python tools/exp_d_impl.py [B] [T]
 """
 
 import os
@@ -18,7 +18,9 @@ import jax.numpy as jnp
 
 
 def main():
-    B, T, K = 16, 500, 20
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+    T = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    K = 20
     cache_dir = os.path.expanduser("~/.cache/rsrgan_xla")
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
