@@ -120,7 +120,13 @@ def _stack_fwd_impl(static, x, mask, flat_params, save_acts=True):
     proj = proj.astype(cdt)
     assert P == P_in, "res_lstm_l requires num_proj == input dim"
 
-    xw1 = jnp.einsum("tbd,dg->tbg", x, wx[0])
+    # layer-1 projection hoisted outside the kernel; materialized in the
+    # COMPUTE dtype — in bf16 mode this halves a [T, B, 4Up] HBM stream
+    # (1.5 GB at B=256 T=500) at the cost of bf16-rounding layer 1's
+    # pre-activation xw term, which layers 2..L already accept via their
+    # bf16 in-kernel operands (f32 mode is bit-unchanged)
+    xw1 = jnp.einsum("tbd,dg->tbg", x, wx[0],
+                     preferred_element_type=jnp.float32).astype(cdt)
     R = wavefront_rows_per_step(T, B, 4 * Up, P, L,
                                 jnp.dtype(cdt).itemsize, save_acts)
     mask_lt = make_wavefront_mask(mask, L, R)
