@@ -34,6 +34,9 @@ def main():
     l2 = jnp.full((2 * B,), T, jnp.int32)
     l1 = jnp.full((B,), T, jnp.int32)
 
+    # force the named backend regardless of batch (this tool MEASURES the
+    # crossover that LstmDiscriminator's row-adaptive default encodes)
+    LstmDiscriminator.WAVEFRONT_MIN_ROWS = 0
     mods = {impl: LstmDiscriminator(compute_dtype=jnp.bfloat16,
                                     lstm_impl=impl)
             for impl in ("pallas", "wavefront")}
