@@ -1,2 +1,3 @@
 """Command-line entry points (train/decode, prepare, simulate, extract,
-plot) mirroring the reference's scripts/ + run_*.sh layers."""
+plot, serve, resynth, score) mirroring the reference's scripts/ +
+run_*.sh layers plus the beyond-reference serving/evaluation surface."""

@@ -1,0 +1,96 @@
+"""Objective scoring CLI: enhanced vs clean, per-utterance + summary.
+
+The reference evaluates only via an external Kaldi ASR decode (WER,
+/root/reference/README.md:36-48). This scores enhancement directly:
+
+    # waveform metrics (after cli/resynth):
+    python -m rsrgan_tpu.cli.score --mode wav \
+        --est_scp exp/test/wav/wav.scp --ref_scp clean_wav.scp
+
+    # feature-domain metrics on arks (decode output vs clean feats):
+    python -m rsrgan_tpu.cli.score --mode feats \
+        --est_scp exp/test/feats.scp --ref_scp clean_feats.scp
+
+wav mode: SNR, SI-SNR, segmental SNR (dB). feats mode: LSD (dB; slot 0
+excluded under raw_energy) and feature MSE. Prints one line per
+utterance plus a JSON summary of means; optional --per_utt JSONL dump.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+from rsrgan_tpu.data.kaldi_ark import ScpReader
+from rsrgan_tpu.eval import feature_mse, lsd_from_lps, seg_snr, si_snr, snr
+from rsrgan_tpu.sim.wavio import read_wav
+
+
+def _read_wav_scp(path):
+    with open(path) as f:
+        return dict(line.strip().split(None, 1) for line in f if line.strip())
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="rsrgan_tpu.cli.score")
+    p.add_argument("--mode", choices=["wav", "feats"], required=True)
+    p.add_argument("--est_scp", required=True)
+    p.add_argument("--ref_scp", required=True)
+    p.add_argument("--per_utt", default=None,
+                   help="optional path for a per-utterance JSONL dump")
+    p.add_argument("--raw_energy", type=lambda s: s.lower() != "false",
+                   default=True,
+                   help="feats mode: slot 0 is frame energy; excluded "
+                        "from LSD (default true, matching extraction)")
+    args = p.parse_args(argv)
+
+    rows = []
+    if args.mode == "wav":
+        est, ref = _read_wav_scp(args.est_scp), _read_wav_scp(args.ref_scp)
+        for utt_id in est:
+            if utt_id not in ref:
+                print(f"WARNING: no reference wav for {utt_id}; skipped",
+                      file=sys.stderr)
+                continue
+            e, _ = read_wav(est[utt_id])
+            r, _ = read_wav(ref[utt_id])
+            rows.append({"utt_id": utt_id, "snr_db": snr(e, r),
+                         "si_snr_db": si_snr(e, r),
+                         "seg_snr_db": seg_snr(e, r)})
+    else:
+        est, ref = ScpReader(args.est_scp), ScpReader(args.ref_scp)
+        ref_ids = set(ref.utt_ids)
+        for utt_id, e in est:
+            if utt_id not in ref_ids:
+                print(f"WARNING: no reference feats for {utt_id}; skipped",
+                      file=sys.stderr)
+                continue
+            r = ref.read_utt(utt_id)
+            rows.append({"utt_id": utt_id,
+                         "lsd_db": lsd_from_lps(
+                             e, r, skip_first_bin=args.raw_energy),
+                         "mse": feature_mse(e, r)})
+
+    if not rows:
+        print("No scored utterances", file=sys.stderr)
+        return 1
+    for row in rows:
+        print(" ".join(f"{k}={v:.3f}" if isinstance(v, float) else f"{v}"
+                       for k, v in row.items()))
+    keys = [k for k in rows[0] if k != "utt_id"]
+    summary = {f"mean_{k}": round(float(np.mean([r[k] for r in rows])), 4)
+               for k in keys}
+    summary["num_utts"] = len(rows)
+    print(json.dumps(summary))
+    if args.per_utt:
+        with open(args.per_utt, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,207 @@
+"""Waveform resynthesis (ISTFT/WOLA) and objective-metric tests."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from rsrgan_tpu.data.kaldi_ark import ArkWriter
+from rsrgan_tpu.eval import feature_mse, lsd_from_lps, seg_snr, si_snr, snr
+from rsrgan_tpu.features import (FrameOptions, SpectrogramOptions,
+                                 compute_spectrogram_np)
+from rsrgan_tpu.features.resynth import (complex_spectrum, deemphasize,
+                                         overlap_add, resynthesize)
+from rsrgan_tpu.sim.wavio import read_wav, write_wav
+
+NODITHER = FrameOptions(dither=0.0)
+
+
+def speechlike(n, seed=0, scale=3000.0):
+    """Zero-mean modulated multi-tone + noise at 16-bit PCM scale."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(n) / 16000.0
+    x = np.zeros(n)
+    for f0 in (180.0, 550.0, 1700.0, 3400.0):
+        x += rng.uniform(0.3, 1.0) * np.sin(
+            2 * np.pi * f0 * t + rng.uniform(0, 2 * np.pi)) * (
+            0.5 + 0.5 * np.sin(2 * np.pi * rng.uniform(2, 5) * t))
+    x += 0.05 * rng.standard_normal(n)
+    x -= x.mean()
+    return (scale * x).astype(np.float32)
+
+
+def mid_snr(est, ref, skip=800):
+    e, r = est[skip:len(ref) - skip], ref[skip:len(ref) - skip]
+    return 10 * np.log10(np.sum(r ** 2) / (np.sum((r - e) ** 2) + 1e-10))
+
+
+class TestResynth:
+    def test_oracle_roundtrip_no_energy_slot(self):
+        """Own magnitude + own phase must reconstruct the wave nearly
+        exactly (WOLA w/ sum-w^2 denominator is exact; residual error is
+        per-frame DC-removal/preemphasis patchwork only)."""
+        wave = speechlike(16000)
+        lps = compute_spectrogram_np(
+            wave, SpectrogramOptions(NODITHER, raw_energy=False))
+        y = resynthesize(lps, wave, NODITHER, raw_energy=False)
+        assert y.shape == wave.shape
+        assert mid_snr(y, wave) > 25.0
+
+    def test_oracle_roundtrip_raw_energy(self):
+        """Default extraction (slot 0 = frame energy): DC comes from the
+        'noisy' spectrum, which here is the wave itself."""
+        wave = speechlike(16000, seed=1)
+        lps = compute_spectrogram_np(
+            wave, SpectrogramOptions(NODITHER, raw_energy=True))
+        y = resynthesize(lps, wave, NODITHER, raw_energy=True)
+        assert mid_snr(y, wave) > 25.0
+
+    def test_oracle_magnitude_enhances_noisy(self):
+        """Clean LPS + noisy phase must land much closer to clean than
+        the noisy signal is — the upper bound a perfect G could reach."""
+        clean = speechlike(16000, seed=2)
+        rng = np.random.default_rng(3)
+        noisy = clean + 0.5 * np.std(clean) * rng.standard_normal(
+            len(clean)).astype(np.float32)
+        lps_clean = compute_spectrogram_np(
+            clean, SpectrogramOptions(NODITHER, raw_energy=True))
+        y = resynthesize(lps_clean, noisy, NODITHER, raw_energy=True)
+        assert si_snr(y, clean) > si_snr(noisy, clean) + 5.0
+
+    def test_overlap_add_inverts_framing(self):
+        """WOLA of the actual windowed frames == the framed signal."""
+        import jax.numpy as jnp
+
+        from rsrgan_tpu.features.frontend import (extract_frames,
+                                                  feature_window)
+
+        opts = FrameOptions(dither=0.0, preemph_coeff=0.0,
+                            remove_dc_offset=False)
+        wave = speechlike(4000, seed=4)
+        w = feature_window(opts)
+        frames = np.asarray(extract_frames(jnp.asarray(wave), opts)) * w
+        y = np.asarray(overlap_add(jnp.asarray(frames), opts,
+                                   num_samples=len(wave)))
+        total = (frames.shape[0] - 1) * opts.window_shift + opts.window_size
+        np.testing.assert_allclose(y[400:total - 400],
+                                   wave[400:total - 400], rtol=1e-4,
+                                   atol=1e-2)
+
+    def test_complex_spectrum_matches_lps(self):
+        wave = speechlike(8000, seed=5)
+        spec = np.asarray(complex_spectrum(wave, NODITHER))
+        lps = compute_spectrogram_np(
+            wave, SpectrogramOptions(NODITHER, raw_energy=False))
+        np.testing.assert_allclose(
+            np.log(np.maximum(np.abs(spec) ** 2,
+                              np.finfo(np.float32).eps)),
+            lps, rtol=1e-3, atol=1e-3)
+
+    def test_deemphasis_inverts_preemphasis(self):
+        x = speechlike(2000, seed=6)
+        pre = np.concatenate([[x[0] - 0.97 * x[0]],
+                              x[1:] - 0.97 * x[:-1]]).astype(np.float32)
+        y = deemphasize(pre, 0.97)
+        # the IIR's state error from the frame-local first sample decays
+        # as 0.97^n; compare past the transient
+        np.testing.assert_allclose(y[600:], x[600:], rtol=1e-4, atol=1e-2)
+
+    def test_dim_mismatch_raises(self):
+        wave = speechlike(8000)
+        with pytest.raises(ValueError, match="LPS dim"):
+            resynthesize(np.zeros((10, 40), np.float32), wave, NODITHER)
+
+
+class TestMetrics:
+    def test_si_snr_identity_and_scale_invariance(self):
+        x = speechlike(8000, seed=7)
+        assert si_snr(x, x) > 50.0
+        noisy = x + 0.1 * np.std(x) * np.random.default_rng(70).\
+            standard_normal(len(x))
+        assert abs(si_snr(0.25 * noisy, x) - si_snr(noisy, x)) < 1e-6
+
+    def test_snr_degrades_with_noise(self):
+        x = speechlike(8000, seed=8)
+        rng = np.random.default_rng(9)
+        n = np.std(x) * rng.standard_normal(len(x))
+        assert snr(x + 0.1 * n, x) > snr(x + n, x) + 10.0
+
+    def test_seg_snr_clamps(self):
+        x = speechlike(8000, seed=10)
+        assert seg_snr(x, x) == pytest.approx(35.0)  # ceiling
+        assert seg_snr(-x, x) == pytest.approx(-10.0 + 0.0, abs=5.0)
+
+    def test_lsd(self):
+        a = np.random.default_rng(11).normal(size=(50, 257))
+        assert lsd_from_lps(a, a) == 0.0
+        b = a + 0.1
+        # constant natural-log offset of 0.1 -> 10/ln10*0.1 dB everywhere
+        assert lsd_from_lps(b, a) == pytest.approx(10 / np.log(10) * 0.1,
+                                                   rel=1e-6)
+        assert lsd_from_lps(b, a, skip_first_bin=False) == pytest.approx(
+            lsd_from_lps(b, a))
+
+    def test_feature_mse_alignment(self):
+        a = np.ones((10, 4))
+        b = np.zeros((12, 4))
+        assert feature_mse(a, b) == 1.0
+
+
+class TestCli:
+    def test_resynth_then_score(self, tmp_path):
+        """End-to-end: wavs + enhanced-LPS arks -> resynth CLI -> score
+        CLI (wav + feats modes)."""
+        from rsrgan_tpu.cli import resynth as resynth_cli
+        from rsrgan_tpu.cli import score as score_cli
+
+        clean_dir = tmp_path / "clean"
+        noisy_dir = tmp_path / "noisy"
+        feat_dir = tmp_path / "feats"
+        for d in (clean_dir, noisy_dir, feat_dir):
+            os.makedirs(d)
+        rng = np.random.default_rng(12)
+        opts = SpectrogramOptions(NODITHER, raw_energy=True)
+        writer = ArkWriter(str(feat_dir / "feats.scp"))
+        with open(tmp_path / "clean.scp", "w") as cs, \
+                open(tmp_path / "noisy.scp", "w") as ns:
+            for i in range(3):
+                utt = f"utt{i}"
+                clean = speechlike(8000, seed=20 + i)
+                noisy = clean + 0.3 * np.std(clean) * rng.standard_normal(
+                    len(clean)).astype(np.float32)
+                write_wav(str(clean_dir / f"{utt}.wav"), clean)
+                write_wav(str(noisy_dir / f"{utt}.wav"), noisy)
+                cs.write(f"{utt} {clean_dir / f'{utt}.wav'}\n")
+                ns.write(f"{utt} {noisy_dir / f'{utt}.wav'}\n")
+                # "enhanced" features := clean LPS (oracle G output)
+                writer.write_next_utt(str(feat_dir / "feats.ark"), utt,
+                                      compute_spectrogram_np(clean, opts))
+        writer.close()
+
+        out_dir = tmp_path / "resynth"
+        assert resynth_cli.main([
+            "--enhanced_scp", str(feat_dir / "feats.scp"),
+            "--wav_scp", str(tmp_path / "noisy.scp"),
+            "--out_dir", str(out_dir)]) == 0
+        assert sorted(os.listdir(out_dir)) == [
+            "utt0.wav", "utt1.wav", "utt2.wav", "wav.scp"]
+
+        # resynthesized output should beat the raw noisy signal
+        for i in range(3):
+            clean, _ = read_wav(str(clean_dir / f"utt{i}.wav"))
+            noisy, _ = read_wav(str(noisy_dir / f"utt{i}.wav"))
+            est, _ = read_wav(str(out_dir / f"utt{i}.wav"))
+            assert si_snr(est, clean) > si_snr(noisy, clean) + 3.0
+
+        assert score_cli.main([
+            "--mode", "wav", "--est_scp", str(out_dir / "wav.scp"),
+            "--ref_scp", str(tmp_path / "clean.scp"),
+            "--per_utt", str(tmp_path / "per_utt.jsonl")]) == 0
+        with open(tmp_path / "per_utt.jsonl") as f:
+            rows = [json.loads(line) for line in f]
+        assert len(rows) == 3 and all("si_snr_db" in r for r in rows)
+
+        assert score_cli.main([
+            "--mode", "feats", "--est_scp", str(feat_dir / "feats.scp"),
+            "--ref_scp", str(feat_dir / "feats.scp")]) == 0
