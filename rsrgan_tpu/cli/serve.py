@@ -15,6 +15,16 @@ Usage::
         --save_dir exp/gan_res_lstm_l --data_dir data/train/train_100h \
         --test_list_file data/test/test001/test.list \
         --chunk_frames 50
+
+    # wav -> wav streaming (LPS->LPS checkpoints, --output_dim 257):
+    python -m rsrgan_tpu.cli.serve \
+        --save_dir exp/gan_lps2lps --data_dir data/train \
+        --wav_scp noisy_wav.scp --output_dim 257 --chunk_frames 50
+
+The wav mode runs the whole pipeline online — streaming LPS analysis,
+carried-state generator forward, WOLA resynthesis with the current
+chunk's noisy phase (serving/wav_stream.py) — and writes enhanced wavs
+plus a wav.scp.
 """
 
 from __future__ import annotations
@@ -59,12 +69,61 @@ def load_generator_params(args):
     return state.g.params if hasattr(state, "g") else state.params
 
 
+def serve_wavs(args, params, inputs_cmvn, labels_cmvn) -> int:
+    """wav->wav streaming over an scp of noisy wavs."""
+    from rsrgan_tpu.features.frontend import FrameOptions
+    from rsrgan_tpu.serving.wav_stream import StreamingWavEnhancer
+    from rsrgan_tpu.sim.wavio import read_wav, write_wav
+
+    opts = FrameOptions(dither=0.0)
+    enhancer = StreamingWavEnhancer(
+        params, inputs_cmvn, labels_cmvn, variant=args.g_type,
+        frame_opts=opts, chunk_frames=args.chunk_frames)
+
+    out_dir = args.output_dir or os.path.join(args.save_dir, "stream_wav")
+    os.makedirs(out_dir, exist_ok=True)
+    with open(args.wav_scp) as f:
+        entries = [line.strip().split(None, 1) for line in f if line.strip()]
+
+    # feed in chunk-sized sample blocks (frames * shift per step)
+    block = args.chunk_frames * opts.window_shift
+    start = datetime.datetime.now()
+    total = 0
+    with open(os.path.join(out_dir, "wav.scp"), "w") as scp:
+        for i, (utt_id, wav_path) in enumerate(entries):
+            wave, rate = read_wav(wav_path)
+            if rate != opts.samp_freq:
+                log(f"WARNING: {utt_id} rate {rate} != "
+                    f"{opts.samp_freq:g}")
+            enhancer.reset()
+            outs = [enhancer.process(wave[lo:lo + block])
+                    for lo in range(0, len(wave), block)]
+            outs.append(enhancer.flush())
+            y = np.concatenate(outs)
+            out_path = os.path.join(out_dir, f"{utt_id}.wav")
+            write_wav(out_path, y, rate=int(rate))
+            scp.write(f"{utt_id} {out_path}\n")
+            total += len(wave)
+            log(f"[{i + 1}/{len(entries)}] Streamed {utt_id} "
+                f"({len(wave)} samples, blocks of {block})")
+    took = (datetime.datetime.now() - start).total_seconds()
+    log(f"Streaming done: {total} samples in {took:.2f}s "
+        f"({total / max(took, 1e-9) / 16000:.2f}x realtime "
+        "host-synced, single stream)")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--save_dir", required=True)
     p.add_argument("--data_dir", required=True,
                    help="directory holding train_cmvn.npz")
-    p.add_argument("--test_list_file", required=True)
+    p.add_argument("--test_list_file", default=None,
+                   help="feature-store mode input (required unless "
+                        "--wav_scp is given)")
+    p.add_argument("--wav_scp", default=None,
+                   help="wav->wav streaming mode: scp of noisy wavs "
+                        "(needs an LPS->LPS checkpoint, --output_dim 257)")
     p.add_argument("--output_dir", default=None,
                    help="default: <save_dir>/stream")
     p.add_argument("--chunk_frames", type=int, default=50,
@@ -92,6 +151,8 @@ def main(argv=None) -> int:
     args, unknown = p.parse_known_args(argv)
     if unknown:
         log(f"WARNING: ignoring unknown flags {unknown}")
+    if (args.test_list_file is None) == (args.wav_scp is None):
+        p.error("exactly one of --test_list_file / --wav_scp is required")
 
     params = load_generator_params(args)
     if params is None:
@@ -100,7 +161,10 @@ def main(argv=None) -> int:
     log("[*] Load SUCCESS")
 
     cmvn_path = os.path.join(args.data_dir, "train_cmvn.npz")
-    _, labels_cmvn = load_cmvn_npz(cmvn_path)
+    inputs_cmvn, labels_cmvn = load_cmvn_npz(cmvn_path)
+
+    if args.wav_scp:
+        return serve_wavs(args, params, inputs_cmvn, labels_cmvn)
 
     store = UtteranceStore(read_list_file(args.test_list_file))
     enhancer = StreamingEnhancer(params, variant=args.g_type)
