@@ -69,47 +69,103 @@ def load_generator_params(args):
     return state.g.params if hasattr(state, "g") else state.params
 
 
-def serve_wavs(args, params, inputs_cmvn, labels_cmvn) -> int:
-    """wav->wav streaming over an scp of noisy wavs."""
-    from rsrgan_tpu.features.frontend import FrameOptions
+def _stream_single(args, params, inputs_cmvn, labels_cmvn, opts, entries,
+                   out_dir, scp):
+    """One stream at a time through StreamingWavEnhancer."""
     from rsrgan_tpu.serving.wav_stream import StreamingWavEnhancer
     from rsrgan_tpu.sim.wavio import read_wav, write_wav
 
-    opts = FrameOptions(dither=0.0)
     enhancer = StreamingWavEnhancer(
         params, inputs_cmvn, labels_cmvn, variant=args.g_type,
         frame_opts=opts, chunk_frames=args.chunk_frames)
+    # feed in chunk-sized sample blocks (frames * shift per step)
+    block = args.chunk_frames * opts.window_shift
+    total = 0
+    for i, (utt_id, wav_path) in enumerate(entries):
+        wave, rate = read_wav(wav_path)
+        if rate != opts.samp_freq:
+            log(f"WARNING: {utt_id} rate {rate} != {opts.samp_freq:g}")
+        enhancer.reset()
+        outs = [enhancer.process(wave[lo:lo + block])
+                for lo in range(0, len(wave), block)]
+        outs.append(enhancer.flush())
+        y = np.concatenate(outs)
+        out_path = os.path.join(out_dir, f"{utt_id}.wav")
+        write_wav(out_path, y, rate=int(rate))
+        scp.write(f"{utt_id} {out_path}\n")
+        total += len(wave)
+        log(f"[{i + 1}/{len(entries)}] Streamed {utt_id} "
+            f"({len(wave)} samples, blocks of {block})")
+    return total
 
+
+def _stream_pooled(args, params, inputs_cmvn, labels_cmvn, opts, entries,
+                   out_dir, scp):
+    """All wavs interleaved through one batched StreamPool: every device
+    dispatch carries up to --num_streams lanes, so throughput scales with
+    concurrency instead of paying batch-1 latency per chunk."""
+    from rsrgan_tpu.serving.pool import StreamPool
+    from rsrgan_tpu.sim.wavio import read_wav, write_wav
+
+    pool = StreamPool(params, inputs_cmvn, labels_cmvn,
+                      variant=args.g_type, frame_opts=opts,
+                      chunk_frames=args.chunk_frames,
+                      capacity=args.num_streams)
+    block = args.chunk_frames * opts.window_shift
+    todo = list(entries)
+    active = {}  # sid -> [utt_id, wave, pos, outs]
+    done = total = 0
+    while todo or active:
+        while todo and pool.active < pool.capacity:
+            utt_id, wav_path = todo.pop(0)
+            wave, rate = read_wav(wav_path)
+            if rate != opts.samp_freq:
+                log(f"WARNING: {utt_id} rate {rate} != {opts.samp_freq:g}")
+            active[pool.open()] = [utt_id, wave, 0, [], int(rate)]
+        for sid in list(active):
+            utt_id, wave, pos, outs, rate = active[sid]
+            if pos < len(wave):
+                outs.append(pool.feed(sid, wave[pos:pos + block]))
+                active[sid][2] = pos + block
+            else:
+                outs.append(pool.close(sid))
+                y = np.concatenate(outs)
+                out_path = os.path.join(out_dir, f"{utt_id}.wav")
+                write_wav(out_path, y, rate=rate)
+                scp.write(f"{utt_id} {out_path}\n")
+                total += len(wave)
+                done += 1
+                log(f"[{done}/{len(entries)}] Streamed {utt_id} "
+                    f"({len(wave)} samples, {pool.active} peers)")
+                del active[sid]
+    log(f"Pool: {pool.steps_run} batched dispatches, "
+        f"{pool.frames_run} frames "
+        f"({pool.frames_run / max(pool.steps_run, 1):.1f} per dispatch, "
+        f"capacity {pool.capacity * args.chunk_frames})")
+    return total
+
+
+def serve_wavs(args, params, inputs_cmvn, labels_cmvn) -> int:
+    """wav->wav streaming over an scp of noisy wavs."""
+    from rsrgan_tpu.features.frontend import FrameOptions
+
+    opts = FrameOptions(dither=0.0)
     out_dir = args.output_dir or os.path.join(args.save_dir, "stream_wav")
     os.makedirs(out_dir, exist_ok=True)
     with open(args.wav_scp) as f:
         entries = [line.strip().split(None, 1) for line in f if line.strip()]
 
-    # feed in chunk-sized sample blocks (frames * shift per step)
-    block = args.chunk_frames * opts.window_shift
+    runner = _stream_pooled if args.num_streams > 1 else _stream_single
     start = datetime.datetime.now()
-    total = 0
     with open(os.path.join(out_dir, "wav.scp"), "w") as scp:
-        for i, (utt_id, wav_path) in enumerate(entries):
-            wave, rate = read_wav(wav_path)
-            if rate != opts.samp_freq:
-                log(f"WARNING: {utt_id} rate {rate} != "
-                    f"{opts.samp_freq:g}")
-            enhancer.reset()
-            outs = [enhancer.process(wave[lo:lo + block])
-                    for lo in range(0, len(wave), block)]
-            outs.append(enhancer.flush())
-            y = np.concatenate(outs)
-            out_path = os.path.join(out_dir, f"{utt_id}.wav")
-            write_wav(out_path, y, rate=int(rate))
-            scp.write(f"{utt_id} {out_path}\n")
-            total += len(wave)
-            log(f"[{i + 1}/{len(entries)}] Streamed {utt_id} "
-                f"({len(wave)} samples, blocks of {block})")
+        total = runner(args, params, inputs_cmvn, labels_cmvn, opts,
+                       entries, out_dir, scp)
     took = (datetime.datetime.now() - start).total_seconds()
+    mode = (f"{args.num_streams} pooled streams"
+            if args.num_streams > 1 else "single stream")
     log(f"Streaming done: {total} samples in {took:.2f}s "
         f"({total / max(took, 1e-9) / 16000:.2f}x realtime "
-        "host-synced, single stream)")
+        f"host-synced, {mode})")
     return 0
 
 
@@ -126,6 +182,9 @@ def main(argv=None) -> int:
                         "(needs an LPS->LPS checkpoint, --output_dim 257)")
     p.add_argument("--output_dir", default=None,
                    help="default: <save_dir>/stream")
+    p.add_argument("--num_streams", type=int, default=1,
+                   help="wav mode: >1 batches this many concurrent "
+                        "streams into one compiled step (StreamPool)")
     p.add_argument("--chunk_frames", type=int, default=50,
                    help="frames per streamed chunk (latency bound)")
     p.add_argument("--g_type", default="res_lstm_l")

@@ -60,16 +60,41 @@ def _cell_step(params, forget_bias, carry, x_t):
     return (c_new, h_new), h_new
 
 
+def _masked_cell_step(params, forget_bias, carry, scan_in):
+    """Cell step that freezes (c, h) for lanes past their valid length
+    (same convention as the training-path masked recurrence,
+    ops/lstm.py:119-123); masked outputs are zeroed and must be ignored
+    by the caller."""
+    x_t, mask_t = scan_in
+    (c_new, h_new), _ = _cell_step(params, forget_bias, carry, x_t)
+    keep = mask_t[:, None]
+    c, h = carry
+    c_new = jnp.where(keep, c_new, c)
+    h_new = jnp.where(keep, h_new, h)
+    return (c_new, h_new), jnp.where(keep, h_new, 0.0)
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("variant", "num_layers", "forget_bias"))
-def _stream_step(params, state, chunk, variant, num_layers, forget_bias):
+                   static_argnames=("variant", "num_layers", "forget_bias",
+                                    "masked"))
+def _stream_step(params, state, chunk, variant, num_layers, forget_bias,
+                 lengths=None, masked=False):
     x = jnp.swapaxes(chunk, 0, 1)  # [T, B, P]
     new_state = []
+    if masked:
+        step_mask = (jnp.arange(x.shape[0])[:, None]
+                     < lengths[None, :].astype(jnp.int32))  # [T, B]
 
     def run_cell(cell_params, k, seq):
-        carry, out = jax.lax.scan(
-            functools.partial(_cell_step, cell_params, forget_bias),
-            state[k], seq)
+        if masked:
+            carry, out = jax.lax.scan(
+                functools.partial(_masked_cell_step, cell_params,
+                                  forget_bias),
+                state[k], (seq, step_mask))
+        else:
+            carry, out = jax.lax.scan(
+                functools.partial(_cell_step, cell_params, forget_bias),
+                state[k], seq)
         new_state.append(carry)
         return out
 
@@ -81,19 +106,22 @@ def _stream_step(params, state, chunk, variant, num_layers, forget_bias):
             h = run_cell(cells[f"cell_{k}"], k, h)
         dN = params["Dense_1"]
         y = h @ dN["kernel"] + dN["bias"]
-        return jnp.swapaxes(y, 0, 1), new_state
-
-    layer_in = x
-    for k in range(num_layers):
-        out = run_cell(params[f"lstm_cell_{k + 1}"], k, layer_in)
-        if variant == "res_lstm_l":
-            layer_in = out + layer_in  # layer residual
-        elif variant == "res_lstm_i":
-            layer_in = out + x  # input residual (original inputs)
-        else:  # res_lstm_base: plain stack
-            layer_in = out
-    dense = params["forward_out"]
-    y = layer_in @ dense["kernel"] + dense["bias"]
+    else:
+        layer_in = x
+        for k in range(num_layers):
+            out = run_cell(params[f"lstm_cell_{k + 1}"], k, layer_in)
+            if variant == "res_lstm_l":
+                layer_in = out + layer_in  # layer residual
+            elif variant == "res_lstm_i":
+                layer_in = out + x  # input residual (original inputs)
+            else:  # res_lstm_base: plain stack
+                layer_in = out
+        dense = params["forward_out"]
+        y = layer_in @ dense["kernel"] + dense["bias"]
+    if masked:
+        # residual wiring and biases leak input past the mask; zero it so
+        # masked lanes visibly produce no output
+        y = jnp.where(step_mask[:, :, None], y, 0.0)
     return jnp.swapaxes(y, 0, 1), new_state
 
 
@@ -154,11 +182,23 @@ class StreamingEnhancer:
                  jnp.zeros((batch, c["proj_kernel"].shape[1]), jnp.float32))
                 for c in self._cells]
 
-    def step(self, chunk: jnp.ndarray, state):
+    def step(self, chunk: jnp.ndarray, state, lengths=None):
         """[B, T_chunk, P] -> ([B, T_chunk, out], new state).
 
         Exact continuation: feeding chunks back-to-back reproduces the
         whole-utterance forward bit-for-bit (see tests).
+
+        ``lengths`` ([B] int, optional) marks per-lane valid frame counts:
+        a lane's recurrent state freezes after its length, and its outputs
+        beyond it are zeros to be discarded. This lets independent streams
+        of uneven progress share one batched compiled step (StreamPool).
+        With ``lengths=None`` (or all-full lengths) the step is the
+        unmasked program — results are identical, proven in tests.
         """
+        if lengths is None:
+            return _stream_step(self.params, state, chunk, self.variant,
+                                self.num_layers, self.forget_bias)
         return _stream_step(self.params, state, chunk, self.variant,
-                            self.num_layers, self.forget_bias)
+                            self.num_layers, self.forget_bias,
+                            lengths=jnp.asarray(lengths, jnp.int32),
+                            masked=True)

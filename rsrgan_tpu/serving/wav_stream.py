@@ -23,6 +23,12 @@ Compute placement: the LSTM forward runs through the jitted
 StreamingEnhancer step (one fixed [1, chunk_frames, D] program); the
 FFT/OLA stages are host numpy — a 50x512 rFFT is microseconds, far below
 the per-dispatch latency a device round-trip would add.
+
+Internals are split so multiple concurrent streams can share one batched
+compiled step (serving/pool.py): ``WavChain`` holds the stream-invariant
+DSP (window, CMVN, analysis/synthesis math) and ``WavStreamState`` holds
+one stream's mutable state (sample tail, pending frames, WOLA
+accumulator, de-emphasis carry).
 """
 
 from __future__ import annotations
@@ -37,14 +43,15 @@ from rsrgan_tpu.features.frontend import EPS_F32, FrameOptions, feature_window
 from rsrgan_tpu.serving.streaming import StreamingEnhancer
 
 
-class StreamingWavEnhancer:
-    """Chunked wav->wav enhancement with carried state across ``process``
-    calls. Not thread-safe; one instance per stream."""
+class WavChain:
+    """Stream-invariant wav<->LPS DSP shared by every stream of a server:
+    analysis (framing already done by the caller) and per-frame synthesis.
+    Validates that the generator checkpoint is LPS->LPS."""
 
     def __init__(self, params, inputs_cmvn: Cmvn, labels_cmvn: Cmvn,
                  variant: str = "res_lstm_l",
                  frame_opts: FrameOptions = FrameOptions(dither=0.0),
-                 raw_energy: bool = True, chunk_frames: int = 50):
+                 raw_energy: bool = True):
         if frame_opts.dither != 0.0:
             raise ValueError("streaming is deterministic: build the "
                              "FrameOptions with dither=0.0")
@@ -52,8 +59,6 @@ class StreamingWavEnhancer:
             raise ValueError("streaming framing requires snip_edges=True")
         self.opts = frame_opts
         self.raw_energy = raw_energy
-        self.chunk_frames = int(chunk_frames)
-        self.enhancer = StreamingEnhancer(params, variant=variant)
         self.inputs_cmvn = inputs_cmvn
         self.labels_cmvn = labels_cmvn
 
@@ -70,35 +75,21 @@ class StreamingWavEnhancer:
         if len(inputs_cmvn.mean) != self.bins:
             raise ValueError("inputs CMVN dim != spectrum bins")
 
-        self._window = feature_window(frame_opts).astype(np.float32)
+        self.window = feature_window(frame_opts).astype(np.float32)
         W, S = frame_opts.window_size, frame_opts.window_shift
         # steady-state peak of the summed squared synthesis window; the
         # 1%-of-peak denominator floor matches offline overlap_add for any
         # signal long enough to reach steady state
         steady = np.zeros(S, np.float64)
         for k in range(0, W, S):
-            seg = (self._window[k:k + S].astype(np.float64)) ** 2
+            seg = (self.window[k:k + S].astype(np.float64)) ** 2
             steady[:len(seg)] += seg
-        self._den_floor = float(0.01 * steady.max())
-        self.reset()
+        self.den_floor = float(0.01 * steady.max())
 
-    def reset(self) -> None:
-        self._samples = np.zeros((0,), np.float32)  # un-framed input tail
-        self._frames_x: list = []      # normalized LPS awaiting a chunk
-        self._frames_spec: list = []   # matching complex spectra
-        self._state = self.enhancer.init_state(batch=1)
-        self._acc = np.zeros((0,), np.float64)   # WOLA numerator
-        self._den = np.zeros((0,), np.float64)   # WOLA denominator
-        self._acc_base = 0   # global sample index of _acc[0]
-        self._next_frame = 0  # global index of the next frame to add
-        self._deemph_z = np.zeros(1, np.float64)  # lfilter carry
+    def analyze(self, frames: np.ndarray):
+        """[F, W] raw frames -> (normalized LPS [F, bins], complex [F, bins]).
 
-    # ------------------------------------------------------------------
-    # analysis (numpy mirror of features/frontend.py process_frames)
-    # ------------------------------------------------------------------
-
-    def _analyze(self, frames: np.ndarray):
-        """[F, W] raw frames -> (normalized LPS [F, bins], complex [F, bins])."""
+        Numpy mirror of features/frontend.py process_frames."""
         opts = self.opts
         frames = frames.astype(np.float32)
         if opts.remove_dc_offset:
@@ -110,7 +101,7 @@ class StreamingWavEnhancer:
         if opts.preemph_coeff != 0.0:
             shifted = np.concatenate([frames[:, :1], frames[:, :-1]], axis=1)
             frames = frames - opts.preemph_coeff * shifted
-        windowed = frames * self._window[None, :]
+        windowed = frames * self.window[None, :]
         spec = np.fft.rfft(windowed, n=self.nfft, axis=1).astype(np.complex64)
         power = (spec.real ** 2 + spec.imag ** 2).astype(np.float32)
         lps = np.log(np.maximum(power, EPS_F32))
@@ -118,27 +109,74 @@ class StreamingWavEnhancer:
             lps[:, 0] = log_energy
         return self.inputs_cmvn.apply(lps).astype(np.float32), spec
 
-    # ------------------------------------------------------------------
-    # synthesis
-    # ------------------------------------------------------------------
-
-    def _synthesize(self, enhanced_lps: np.ndarray, spec: np.ndarray) -> None:
-        """Add F enhanced frames into the WOLA accumulator."""
+    def synth_frames(self, enhanced_lps: np.ndarray,
+                     spec: np.ndarray) -> np.ndarray:
+        """Denormalized enhanced LPS + matching noisy spectra ->
+        [F, window_size] time-domain frames (pre-OLA)."""
         mag = np.exp(0.5 * enhanced_lps.astype(np.float64))
         noisy_mag = np.abs(spec).astype(np.float64)
         if self.raw_energy:
             mag[:, 0] = noisy_mag[:, 0]
         phase = spec / np.maximum(noisy_mag, np.sqrt(EPS_F32))
-        frames = np.fft.irfft(mag * phase, n=self.nfft,
-                              axis=1)[:, :self.opts.window_size]
+        return np.fft.irfft(mag * phase, n=self.nfft,
+                            axis=1)[:, :self.opts.window_size]
+
+
+class WavStreamState:
+    """One stream's mutable host state: un-framed sample tail, analyzed
+    frames awaiting the model, WOLA accumulator, de-emphasis carry."""
+
+    def __init__(self, chain: WavChain):
+        self.chain = chain
+        self.reset()
+
+    def reset(self) -> None:
+        self._samples = np.zeros((0,), np.float32)  # un-framed input tail
+        self._frames_x: list = []      # normalized LPS awaiting a chunk
+        self._frames_spec: list = []   # matching complex spectra
+        self._acc = np.zeros((0,), np.float64)   # WOLA numerator
+        self._den = np.zeros((0,), np.float64)   # WOLA denominator
+        self._acc_base = 0   # global sample index of _acc[0]
+        self._next_frame = 0  # global index of the next frame to add
+        self._deemph_z = np.zeros(1, np.float64)  # lfilter carry
+
+    def push(self, samples: np.ndarray) -> None:
+        """Buffer samples; frame + analyze everything frameable."""
+        self._samples = np.concatenate(
+            [self._samples, np.asarray(samples, np.float32)])
+        W = self.chain.opts.window_size
+        S = self.chain.opts.window_shift
+        n_new = max(0, 1 + (len(self._samples) - W) // S) \
+            if len(self._samples) >= W else 0
+        if n_new:
+            idx = (np.arange(n_new)[:, None] * S + np.arange(W)[None, :])
+            lps, spec = self.chain.analyze(self._samples[idx])
+            self._frames_x.extend(lps)
+            self._frames_spec.extend(spec)
+            self._samples = self._samples[n_new * S:]
+
+    def pending(self) -> int:
+        return len(self._frames_x)
+
+    def take(self, n: int):
+        """Pop the first n pending frames -> (x [n, bins], spec [n, bins])."""
+        x = np.stack(self._frames_x[:n])
+        spec = np.stack(self._frames_spec[:n])
+        del self._frames_x[:n], self._frames_spec[:n]
+        return x, spec
+
+    def absorb(self, enhanced_lps: np.ndarray, spec: np.ndarray) -> None:
+        """Add F enhanced frames into the WOLA accumulator."""
+        frames = self.chain.synth_frames(enhanced_lps, spec)
         F = frames.shape[0]
-        W, S = self.opts.window_size, self.opts.window_shift
+        W = self.chain.opts.window_size
+        S = self.chain.opts.window_shift
         end = (self._next_frame + F - 1) * S + W - self._acc_base
         if end > len(self._acc):
             grow = end - len(self._acc)
             self._acc = np.concatenate([self._acc, np.zeros(grow)])
             self._den = np.concatenate([self._den, np.zeros(grow)])
-        w = self._window.astype(np.float64)
+        w = self.chain.window.astype(np.float64)
         for t in range(F):
             lo = (self._next_frame + t) * S - self._acc_base
             self._acc[lo:lo + W] += w * frames[t]
@@ -150,54 +188,73 @@ class StreamingWavEnhancer:
         n = upto_global - self._acc_base
         if n <= 0:
             return np.zeros((0,), np.float32)
-        y = self._acc[:n] / np.maximum(self._den[:n], self._den_floor)
+        y = self._acc[:n] / np.maximum(self._den[:n], self.chain.den_floor)
         self._acc = self._acc[n:]
         self._den = self._den[n:]
         self._acc_base = upto_global
-        if self.opts.preemph_coeff != 0.0:
+        if self.chain.opts.preemph_coeff != 0.0:
             from scipy.signal import lfilter
 
             y, self._deemph_z = lfilter(
-                [1.0], [1.0, -self.opts.preemph_coeff], y,
+                [1.0], [1.0, -self.chain.opts.preemph_coeff], y,
                 zi=self._deemph_z)
         return y.astype(np.float32)
 
-    # ------------------------------------------------------------------
+    def emit_ready(self) -> np.ndarray:
+        """Emit every sample finalized by the frames absorbed so far."""
+        return self._emit(self._next_frame * self.chain.opts.window_shift)
+
+    def emit_tail(self) -> np.ndarray:
+        """End of stream: emit through the last absorbed frame's end."""
+        if self._next_frame == 0:
+            return np.zeros((0,), np.float32)
+        opts = self.chain.opts
+        return self._emit((self._next_frame - 1) * opts.window_shift
+                          + opts.window_size)
+
+
+class StreamingWavEnhancer:
+    """Chunked wav->wav enhancement with carried state across ``process``
+    calls. Not thread-safe; one instance per stream. For many concurrent
+    streams sharing one batched compiled step, use serving.pool.StreamPool."""
+
+    def __init__(self, params, inputs_cmvn: Cmvn, labels_cmvn: Cmvn,
+                 variant: str = "res_lstm_l",
+                 frame_opts: FrameOptions = FrameOptions(dither=0.0),
+                 raw_energy: bool = True, chunk_frames: int = 50):
+        self.chain = WavChain(params, inputs_cmvn, labels_cmvn,
+                              variant=variant, frame_opts=frame_opts,
+                              raw_energy=raw_energy)
+        self.opts = self.chain.opts
+        self.chunk_frames = int(chunk_frames)
+        self.enhancer = StreamingEnhancer(params, variant=variant)
+        self.stream = WavStreamState(self.chain)
+        self.reset()
+
+    def reset(self) -> None:
+        self.stream.reset()
+        self._state = self.enhancer.init_state(batch=1)
 
     def _run_chunk(self, n: Optional[int] = None) -> None:
         """Run the first n buffered frames (default: a full chunk)."""
         n = self.chunk_frames if n is None else n
-        x = np.stack(self._frames_x[:n])[None]          # [1, n, bins]
-        spec = np.stack(self._frames_spec[:n])
-        del self._frames_x[:n], self._frames_spec[:n]
-        y, self._state = self.enhancer.step(jnp.asarray(x), self._state)
-        enhanced = self.labels_cmvn.denormalize(np.asarray(y[0], np.float32))
-        self._synthesize(enhanced, spec)
+        x, spec = self.stream.take(n)
+        y, self._state = self.enhancer.step(jnp.asarray(x[None]), self._state)
+        enhanced = self.chain.labels_cmvn.denormalize(
+            np.asarray(y[0], np.float32))
+        self.stream.absorb(enhanced, spec)
 
     def process(self, samples: np.ndarray) -> np.ndarray:
         """Feed samples (16-bit PCM scale float); returns all newly
         finalized enhanced samples (possibly empty)."""
-        self._samples = np.concatenate(
-            [self._samples, np.asarray(samples, np.float32)])
-        W, S = self.opts.window_size, self.opts.window_shift
-        n_new = max(0, 1 + (len(self._samples) - W) // S) \
-            if len(self._samples) >= W else 0
-        if n_new:
-            idx = (np.arange(n_new)[:, None] * S + np.arange(W)[None, :])
-            lps, spec = self._analyze(self._samples[idx])
-            self._frames_x.extend(lps)
-            self._frames_spec.extend(spec)
-            self._samples = self._samples[n_new * S:]
-        while len(self._frames_x) >= self.chunk_frames:
+        self.stream.push(samples)
+        while self.stream.pending() >= self.chunk_frames:
             self._run_chunk()
-        return self._emit(self._next_frame * S)
+        return self.stream.emit_ready()
 
     def flush(self) -> np.ndarray:
         """End of stream: run the buffered partial chunk (one extra
         compiled shape) and emit everything up to the last frame's end."""
-        if self._frames_x:
-            self._run_chunk(len(self._frames_x))
-        W, S = self.opts.window_size, self.opts.window_shift
-        if self._next_frame == 0:
-            return np.zeros((0,), np.float32)
-        return self._emit((self._next_frame - 1) * S + W)
+        if self.stream.pending():
+            self._run_chunk(self.stream.pending())
+        return self.stream.emit_tail()
