@@ -663,6 +663,16 @@ def run_decode(args) -> int:
                        compress=args.compress, text=args.text)
     ark_path = os.path.join(out_dir, "feats.ark")
 
+    # Data-parallel decode: with --num_gpu>1 the batched enhancement path
+    # shards each batch's rows over a 1-D data mesh (replicated G params,
+    # XLA SPMD — the serving analogue of training's tower parity). The
+    # reference decode is strictly batch-1 single-GPU
+    # (train_gan_rnn_placeholder.py:204-302); this is a scale-out extension.
+    mesh = None
+    if sequence and args.decode_batch_size > 1 and args.num_gpu > 1:
+        mesh = make_mesh(args.num_gpu)
+        log(f"[*] Decoding over a {dict(mesh.shape)} device mesh")
+
     if hasattr(state, "g") and args.trainer == "segan":
         g_params = state.g.params
 
@@ -670,18 +680,27 @@ def run_decode(args) -> int:
             return trainer.infer_step(g_params, inputs)
     elif hasattr(state, "g"):
         g_params = state.g.params
+        if mesh is not None:
+            g_params = replicate(mesh, g_params)
 
         def infer(inputs, lengths):
+            if mesh is not None:
+                inputs, lengths = shard_batch(mesh, (inputs, lengths))
             return trainer.infer_step(g_params, inputs, lengths)
     else:
+        if mesh is not None:
+            state = replicate(mesh, state)
+
         def infer(inputs, lengths):
+            if mesh is not None and sequence:
+                inputs, lengths = shard_batch(mesh, (inputs, lengths))
             return trainer.infer_step(state, inputs,
                                       lengths if sequence else None)
 
     start = datetime.datetime.now()
     if sequence and args.decode_batch_size > 1:
         _decode_batched(args, test_store, infer, labels_cmvn, writer,
-                        ark_path)
+                        ark_path, row_quant=args.num_gpu if mesh else 1)
     else:
         it = ThreadedPrefetcher(
             infer_batches(test_store, args.left_context,
@@ -706,10 +725,15 @@ def run_decode(args) -> int:
 
 
 def _decode_batched(args, test_store, infer, labels_cmvn, writer,
-                    ark_path) -> None:
+                    ark_path, row_quant: int = 1) -> None:
     """Batched enhancement: group utterances by padded length (128-frame
     quantization), run B-at-a-time, write results back in scp order.
-    A serving-throughput extension over the reference's batch-1 decode."""
+    A serving-throughput extension over the reference's batch-1 decode.
+
+    ``row_quant``: round each batch's row count up to this multiple with
+    zero rows (discarded on write) so the rows divide evenly over a data
+    mesh when decoding with --num_gpu>1.
+    """
     from rsrgan_tpu.data.splice import splice_frames_np
 
     B = args.decode_batch_size
@@ -726,9 +750,11 @@ def _decode_batched(args, test_store, infer, labels_cmvn, writer,
             group.append(order[idx])
             idx += 1
         splice = args.left_context + 1 + args.right_context
-        x = np.zeros((len(group), t_pad, test_store.input_dim * splice),
+        rows = -(-len(group) // row_quant) * row_quant
+        x = np.zeros((rows, t_pad, test_store.input_dim * splice),
                      np.float32)
-        lens = np.zeros((len(group),), np.int32)
+        # dummy pad rows keep full length: zero inputs, outputs discarded
+        lens = np.full((rows,), t_pad, np.int32)
         for row, i in enumerate(group):
             feats = splice_frames_np(np.asarray(test_store.inputs(i)),
                                      args.left_context, args.right_context)

@@ -18,7 +18,16 @@ def exponential_decay(iteration: int, num_jobs: int, num_iters: int,
     Decays to 1e-4x the initial value over ``num_iters`` iterations
     (geometric interpolation); optionally scales by the replica count
     (the reference's LR x num_gpu rule).
+
+    Deviation: ``init_value == 0`` returns 0 (the geometric decay of
+    zero is zero at every step). The reference divides by the initial
+    value unguarded (utils/ops.py:385) and raises ZeroDivisionError —
+    which its GAN scripts only avoid because their recipes always pass
+    a nonzero ``--init_disc_noise_std``; our unified CLI also runs this
+    schedule for the MSE trainers, where 0.0 is the default.
     """
+    if init_value == 0.0:
+        return 0.0
     final_value = 0.0001 * init_value
     if iteration + 1 >= num_iters:
         current = final_value

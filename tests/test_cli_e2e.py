@@ -224,6 +224,26 @@ def test_gan_rnn_same_batch_multistep(corpus, tmp_path):
     for key in ("d_loss", "g_adv_loss", "g_mse_loss", "g_loss"):
         assert np.isfinite(rec[key])
 
+    # data-parallel GAN decode (g_params branch): batch-1 == DP batched
+    decode_common = [
+        "--decode", "--trainer=gan_rnn", "--g_type=res_lstm_l",
+        f"--data_dir={data_dir}",
+        f"--test_list_file={os.path.join(data_dir, 'test.list')}",
+        f"--save_dir={save_dir}", "--input_dim=16", "--output_dim=6",
+        "--bf16=false"]
+    assert train_cli.main(decode_common) == 0
+    single = {u: np.array(m) for u, m in ScpReader(
+        os.path.join(save_dir, "test", "feats.scp"))}
+    import shutil
+    shutil.rmtree(os.path.join(save_dir, "test"))
+    assert train_cli.main(decode_common + ["--decode_batch_size=3",
+                                           "--num_gpu=2"]) == 0
+    dp = {u: m for u, m in ScpReader(
+        os.path.join(save_dir, "test", "feats.scp"))}
+    assert single.keys() == dp.keys()
+    for u in single:
+        np.testing.assert_allclose(dp[u], single[u], atol=1e-4)
+
 
 def test_batched_decode_matches_single(corpus, tmp_path):
     """--decode_batch_size>1 must produce the same arks as batch-1."""
@@ -257,6 +277,16 @@ def test_batched_decode_matches_single(corpus, tmp_path):
     assert single.keys() == batched.keys()
     for u in single:
         np.testing.assert_allclose(batched[u], single[u], atol=1e-4)
+    # data-parallel decode (--num_gpu=2): rows sharded over a 2-device
+    # mesh, same arks (mse-trainer branch: whole state replicated)
+    shutil.rmtree(os.path.join(save_dir, "test"))
+    assert train_cli.main(decode_common + ["--decode_batch_size=4",
+                                           "--num_gpu=2"]) == 0
+    dp = {u: m for u, m in ScpReader(
+        os.path.join(save_dir, "test", "feats.scp"))}
+    assert single.keys() == dp.keys()
+    for u in single:
+        np.testing.assert_allclose(dp[u], single[u], atol=1e-4)
 
 
 def test_gan_rnn_data_parallel_cli(corpus, tmp_path):

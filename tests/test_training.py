@@ -87,6 +87,15 @@ class TestSchedules:
                                      multiply_jobs=False) == pytest.approx(
                 expect)
 
+    def test_exponential_decay_zero_init(self):
+        """init_value=0 (the CLI's default disc-noise std) stays 0 at every
+        iteration instead of raising ZeroDivisionError like the reference's
+        unguarded utils/ops.py:385."""
+        for it in (0, 1, 50, 99, 120):
+            assert exponential_decay(it, 2, 100, 0.0) == 0.0
+            assert exponential_decay(it, 2, 100, 0.0,
+                                     multiply_jobs=False) == 0.0
+
     def test_improvement_tracker(self):
         tr = ImprovementTracker(end_improve=0.01)
         tr.add(5.0)
