@@ -11,9 +11,11 @@ The reference evaluates only via an external Kaldi ASR decode (WER,
     python -m rsrgan_tpu.cli.score --mode feats \
         --est_scp exp/test/feats.scp --ref_scp clean_feats.scp
 
-wav mode: SNR, SI-SNR, segmental SNR (dB). feats mode: LSD (dB; slot 0
-excluded under raw_energy) and feature MSE. Prints one line per
-utterance plus a JSON summary of means; optional --per_utt JSONL dump.
+wav mode: SNR, SI-SNR, segmental SNR (dB), STOI, ESTOI (utterances too
+short for the 384 ms STOI segments score NaN and are excluded from the
+summary means). feats mode: LSD (dB; slot 0 excluded under raw_energy)
+and feature MSE. Prints one line per utterance plus a JSON summary of
+means; optional --per_utt JSONL dump.
 """
 
 from __future__ import annotations
@@ -25,7 +27,8 @@ import sys
 import numpy as np
 
 from rsrgan_tpu.data.kaldi_ark import ScpReader
-from rsrgan_tpu.eval import feature_mse, lsd_from_lps, seg_snr, si_snr, snr
+from rsrgan_tpu.eval import (estoi, feature_mse, lsd_from_lps, seg_snr,
+                             si_snr, snr, stoi)
 from rsrgan_tpu.sim.wavio import read_wav
 
 
@@ -55,11 +58,22 @@ def main(argv=None) -> int:
                 print(f"WARNING: no reference wav for {utt_id}; skipped",
                       file=sys.stderr)
                 continue
-            e, _ = read_wav(est[utt_id])
-            r, _ = read_wav(ref[utt_id])
+            e, fs_e = read_wav(est[utt_id])
+            r, fs_r = read_wav(ref[utt_id])
+            if fs_e != fs_r:
+                print(f"WARNING: sample-rate mismatch for {utt_id} "
+                      f"({fs_e} vs {fs_r}); skipped", file=sys.stderr)
+                continue
+            try:
+                st, est_st = stoi(e, r, fs=fs_r), estoi(e, r, fs=fs_r)
+            except ValueError as exc:     # too short / silent for STOI
+                print(f"WARNING: STOI undefined for {utt_id}: {exc}",
+                      file=sys.stderr)
+                st = est_st = float("nan")
             rows.append({"utt_id": utt_id, "snr_db": snr(e, r),
                          "si_snr_db": si_snr(e, r),
-                         "seg_snr_db": seg_snr(e, r)})
+                         "seg_snr_db": seg_snr(e, r),
+                         "stoi": st, "estoi": est_st})
     else:
         est, ref = ScpReader(args.est_scp), ScpReader(args.ref_scp)
         ref_ids = set(ref.utt_ids)
@@ -81,7 +95,7 @@ def main(argv=None) -> int:
         print(" ".join(f"{k}={v:.3f}" if isinstance(v, float) else f"{v}"
                        for k, v in row.items()))
     keys = [k for k in rows[0] if k != "utt_id"]
-    summary = {f"mean_{k}": round(float(np.mean([r[k] for r in rows])), 4)
+    summary = {f"mean_{k}": round(float(np.nanmean([r[k] for r in rows])), 4)
                for k in keys}
     summary["num_utts"] = len(rows)
     print(json.dumps(summary))

@@ -4,9 +4,10 @@ The reference has no scoring of its own — enhanced features are judged
 by the WER of an external Kaldi ASR decode (/root/reference/README.md:
 36-48), which this image cannot run. These standard waveform/spectral
 metrics make enhancement quality measurable inside the framework (used
-by `cli/score.py` and the quality recipes). PESQ/STOI are deliberately
-out of scope (both need licensed/third-party reference code to be
-meaningful); LSD + segmental SNR are the classic dereverberation proxies.
+by `cli/score.py` and the quality recipes). STOI/ESTOI live in
+`eval/stoi.py`; PESQ is deliberately out of scope (ITU-T P.862
+reference code is licensed). LSD + segmental SNR are the classic
+dereverberation proxies.
 
 All functions are plain numpy on host: scoring is offline, O(n), and
 never on the training path.

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from rsrgan_tpu.data.kaldi_ark import ArkWriter
-from rsrgan_tpu.eval import feature_mse, lsd_from_lps, seg_snr, si_snr, snr
+from rsrgan_tpu.eval import (estoi, feature_mse, lsd_from_lps, seg_snr,
+                             si_snr, snr, stoi)
 from rsrgan_tpu.features import (FrameOptions, SpectrogramOptions,
                                  compute_spectrogram_np)
 from rsrgan_tpu.features.resynth import (complex_spectrum, deemphasize,
@@ -148,6 +149,67 @@ class TestMetrics:
         assert feature_mse(a, b) == 1.0
 
 
+class TestStoi:
+    """Property tests for eval/stoi.py (no third-party STOI oracle exists
+    in this image; these assert the paper's defining properties)."""
+
+    def test_identity_scores_one(self):
+        x = speechlike(16000, seed=30)
+        assert stoi(x, x, fs=16000) == pytest.approx(1.0, abs=1e-6)
+        assert estoi(x, x, fs=16000) == pytest.approx(1.0, abs=1e-6)
+
+    def test_monotone_in_noise(self):
+        x = speechlike(16000, seed=31)
+        n = np.std(x) * np.random.default_rng(32).standard_normal(len(x))
+        scores = [stoi(x + g * n, x, fs=16000) for g in (0.1, 1.0, 3.0)]
+        assert scores[0] > scores[1] > scores[2]
+        e_scores = [estoi(x + g * n, x, fs=16000) for g in (0.1, 1.0, 3.0)]
+        assert e_scores[0] > e_scores[1] > e_scores[2]
+
+    def test_pure_noise_scores_low(self):
+        x = speechlike(16000, seed=33)
+        n = np.std(x) * np.random.default_rng(34).standard_normal(len(x))
+        assert stoi(n, x, fs=16000) < 0.5
+        assert estoi(n, x, fs=16000) < 0.3
+
+    def test_scale_invariant_in_estimate(self):
+        x = speechlike(16000, seed=35)
+        n = np.std(x) * np.random.default_rng(36).standard_normal(len(x))
+        y = x + 0.5 * n
+        assert stoi(7.3 * y, x, fs=16000) == pytest.approx(
+            stoi(y, x, fs=16000), abs=1e-9)
+        assert estoi(7.3 * y, x, fs=16000) == pytest.approx(
+            estoi(y, x, fs=16000), abs=1e-9)
+
+    def test_silence_removal(self):
+        """Padding both signals with shared silence barely moves the
+        score (the 40 dB energy gate drops those frames)."""
+        x = speechlike(16000, seed=37)
+        n = np.std(x) * np.random.default_rng(38).standard_normal(len(x))
+        y = x + 0.5 * n
+        # 8192 @16k -> 5120 @10k = 40 exact hops, so the analysis grid
+        # stays aligned and only the silent frames differ
+        pad = np.zeros(8192, x.dtype)
+        xp, yp = np.concatenate([pad, x, pad]), np.concatenate([pad, y, pad])
+        assert stoi(yp, xp, fs=16000) == pytest.approx(
+            stoi(y, x, fs=16000), abs=0.02)
+
+    def test_too_short_raises(self):
+        x = speechlike(2000, seed=39)
+        with pytest.raises(ValueError, match="too short"):
+            stoi(x, x, fs=16000)
+
+    def test_band_matrix_layout(self):
+        from rsrgan_tpu.eval.stoi import _third_octave_matrix
+        obm = _third_octave_matrix()
+        assert obm.shape == (15, 257)
+        assert (obm.sum(axis=1) > 0).all()          # every band non-empty
+        assert obm.max(axis=0).max() <= 1.0         # bands don't overlap
+        # one-third-octave: band widths grow ~2^(1/3) per band
+        widths = obm.sum(axis=1)
+        assert widths[-1] > widths[0] * 8
+
+
 class TestCli:
     def test_resynth_then_score(self, tmp_path):
         """End-to-end: wavs + enhanced-LPS arks -> resynth CLI -> score
@@ -201,6 +263,11 @@ class TestCli:
         with open(tmp_path / "per_utt.jsonl") as f:
             rows = [json.loads(line) for line in f]
         assert len(rows) == 3 and all("si_snr_db" in r for r in rows)
+        assert all(np.isfinite(r["stoi"]) and np.isfinite(r["estoi"])
+                   for r in rows)
+        # oracle-magnitude resynthesis of mildly noisy speech stays
+        # highly intelligible
+        assert all(r["stoi"] > 0.8 for r in rows)
 
         assert score_cli.main([
             "--mode", "feats", "--est_scp", str(feat_dir / "feats.scp"),
