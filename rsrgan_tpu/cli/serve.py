@@ -164,7 +164,7 @@ def serve_wavs(args, params, inputs_cmvn, labels_cmvn) -> int:
     mode = (f"{args.num_streams} pooled streams"
             if args.num_streams > 1 else "single stream")
     log(f"Streaming done: {total} samples in {took:.2f}s "
-        f"({total / max(took, 1e-9) / 16000:.2f}x realtime "
+        f"({total / max(took, 1e-9) / opts.samp_freq:.2f}x realtime "
         f"host-synced, {mode})")
     return 0
 
