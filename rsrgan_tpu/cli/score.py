@@ -27,8 +27,8 @@ import sys
 import numpy as np
 
 from rsrgan_tpu.data.kaldi_ark import ScpReader
-from rsrgan_tpu.eval import (estoi, feature_mse, lsd_from_lps, seg_snr,
-                             si_snr, snr, stoi)
+from rsrgan_tpu.eval import feature_mse, lsd_from_lps, seg_snr, si_snr, snr
+from rsrgan_tpu.eval.stoi import stoi_both
 from rsrgan_tpu.sim.wavio import read_wav
 
 
@@ -44,6 +44,11 @@ def main(argv=None) -> int:
     p.add_argument("--ref_scp", required=True)
     p.add_argument("--per_utt", default=None,
                    help="optional path for a per-utterance JSONL dump")
+    p.add_argument("--intelligibility", type=lambda s: s.lower() != "false",
+                   default=True,
+                   help="wav mode: compute STOI/ESTOI (host-side "
+                        "~O(0.5 s)/utt on this machine; set false to skip "
+                        "on large test sets)")
     p.add_argument("--raw_energy", type=lambda s: s.lower() != "false",
                    default=True,
                    help="feats mode: slot 0 is frame energy; excluded "
@@ -64,16 +69,17 @@ def main(argv=None) -> int:
                 print(f"WARNING: sample-rate mismatch for {utt_id} "
                       f"({fs_e} vs {fs_r}); skipped", file=sys.stderr)
                 continue
-            try:
-                st, est_st = stoi(e, r, fs=fs_r), estoi(e, r, fs=fs_r)
-            except ValueError as exc:     # too short / silent for STOI
-                print(f"WARNING: STOI undefined for {utt_id}: {exc}",
-                      file=sys.stderr)
-                st = est_st = float("nan")
-            rows.append({"utt_id": utt_id, "snr_db": snr(e, r),
-                         "si_snr_db": si_snr(e, r),
-                         "seg_snr_db": seg_snr(e, r),
-                         "stoi": st, "estoi": est_st})
+            row = {"utt_id": utt_id, "snr_db": snr(e, r),
+                   "si_snr_db": si_snr(e, r),
+                   "seg_snr_db": seg_snr(e, r)}
+            if args.intelligibility:
+                try:
+                    row["stoi"], row["estoi"] = stoi_both(e, r, fs=fs_r)
+                except ValueError as exc:  # too short / silent for STOI
+                    print(f"WARNING: STOI undefined for {utt_id}: {exc}",
+                          file=sys.stderr)
+                    row["stoi"] = row["estoi"] = float("nan")
+            rows.append(row)
     else:
         est, ref = ScpReader(args.est_scp), ScpReader(args.ref_scp)
         ref_ids = set(ref.utt_ids)

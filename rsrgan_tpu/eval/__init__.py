@@ -3,7 +3,7 @@ scores only indirectly via downstream Kaldi ASR WER)."""
 
 from rsrgan_tpu.eval.metrics import (feature_mse, lsd_from_lps, seg_snr,
                                      si_snr, snr)
-from rsrgan_tpu.eval.stoi import estoi, stoi
+from rsrgan_tpu.eval.stoi import estoi, stoi, stoi_both
 
 __all__ = ["si_snr", "snr", "seg_snr", "lsd_from_lps", "feature_mse",
-           "stoi", "estoi"]
+           "stoi", "estoi", "stoi_both"]

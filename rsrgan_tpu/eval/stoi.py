@@ -123,6 +123,39 @@ def _segments(tob: np.ndarray) -> np.ndarray:
                      for i in range(m - SEG_FRAMES + 1)])
 
 
+def _tf_segments(est: np.ndarray, ref: np.ndarray, fs: int):
+    """Shared front-end: resample, silence-remove, band spectrograms,
+    segment. Returns (clean_segments, degraded_segments), each (S, J, N)."""
+    est, ref = np.asarray(est, np.float64), np.asarray(ref, np.float64)
+    n = min(len(est), len(ref))
+    est, ref = _resample(est[:n], fs), _resample(ref[:n], fs)
+    ref, est = _remove_silent_frames(ref, est)
+    obm = _third_octave_matrix()
+    return (_segments(_band_spectrogram(ref, obm)),
+            _segments(_band_spectrogram(est, obm)))
+
+
+def _stoi_score(x: np.ndarray, y: np.ndarray) -> float:
+    alpha = np.sqrt(np.sum(x ** 2, axis=2, keepdims=True)
+                    / (np.sum(y ** 2, axis=2, keepdims=True) + _EPS))
+    y_prime = np.minimum(alpha * y, x * (1.0 + 10.0 ** (-BETA_DB / 20.0)))
+    xc = x - x.mean(axis=2, keepdims=True)
+    yc = y_prime - y_prime.mean(axis=2, keepdims=True)
+    xc = xc / (np.linalg.norm(xc, axis=2, keepdims=True) + _EPS)
+    yc = yc / (np.linalg.norm(yc, axis=2, keepdims=True) + _EPS)
+    return float(np.sum(xc * yc) / (NUM_BANDS * x.shape[0]))
+
+
+def _estoi_score(x: np.ndarray, y: np.ndarray) -> float:
+    def row_col_norm(a):
+        a = a - a.mean(axis=2, keepdims=True)
+        a = a / (np.linalg.norm(a, axis=2, keepdims=True) + _EPS)
+        a = a - a.mean(axis=1, keepdims=True)
+        return a / (np.linalg.norm(a, axis=1, keepdims=True) + _EPS)
+    return float(np.sum(row_col_norm(x) * row_col_norm(y))
+                 / (SEG_FRAMES * x.shape[0]))
+
+
 def stoi(est: np.ndarray, ref: np.ndarray, fs: int = FS,
          extended: bool = False) -> float:
     """Intelligibility of ``est`` (degraded/enhanced) given clean ``ref``.
@@ -131,35 +164,18 @@ def stoi(est: np.ndarray, ref: np.ndarray, fs: int = FS,
     intelligible; identical signals score 1.0). ``fs`` is the input
     sample rate; anything != 10 kHz is polyphase-resampled first.
     """
-    est, ref = np.asarray(est, np.float64), np.asarray(ref, np.float64)
-    n = min(len(est), len(ref))
-    est, ref = _resample(est[:n], fs), _resample(ref[:n], fs)
-    ref, est = _remove_silent_frames(ref, est)
-
-    obm = _third_octave_matrix()
-    x = _segments(_band_spectrogram(ref, obm))   # clean   (S, J, N)
-    y = _segments(_band_spectrogram(est, obm))   # degraded
-
-    if extended:
-        def row_col_norm(a):
-            a = a - a.mean(axis=2, keepdims=True)
-            a = a / (np.linalg.norm(a, axis=2, keepdims=True) + _EPS)
-            a = a - a.mean(axis=1, keepdims=True)
-            return a / (np.linalg.norm(a, axis=1, keepdims=True) + _EPS)
-        xn, yn = row_col_norm(x), row_col_norm(y)
-        return float(np.sum(xn * yn) / (SEG_FRAMES * x.shape[0]))
-
-    alpha = np.sqrt(np.sum(x ** 2, axis=2, keepdims=True)
-                    / (np.sum(y ** 2, axis=2, keepdims=True) + _EPS))
-    y_prime = np.minimum(alpha * y, x * (1.0 + 10.0 ** (-BETA_DB / 20.0)))
-
-    xc = x - x.mean(axis=2, keepdims=True)
-    yc = y_prime - y_prime.mean(axis=2, keepdims=True)
-    xc = xc / (np.linalg.norm(xc, axis=2, keepdims=True) + _EPS)
-    yc = yc / (np.linalg.norm(yc, axis=2, keepdims=True) + _EPS)
-    return float(np.sum(xc * yc) / (NUM_BANDS * x.shape[0]))
+    x, y = _tf_segments(est, ref, fs)
+    return _estoi_score(x, y) if extended else _stoi_score(x, y)
 
 
 def estoi(est: np.ndarray, ref: np.ndarray, fs: int = FS) -> float:
     """Extended STOI (Jensen & Taal 2016)."""
     return stoi(est, ref, fs=fs, extended=True)
+
+
+def stoi_both(est: np.ndarray, ref: np.ndarray, fs: int = FS):
+    """(stoi, estoi) sharing one front-end pass — the resample /
+    silence-removal / spectrogram work dominates, so scoring both this
+    way costs ~half of two separate calls."""
+    x, y = _tf_segments(est, ref, fs)
+    return _stoi_score(x, y), _estoi_score(x, y)

@@ -194,6 +194,15 @@ class TestStoi:
         assert stoi(yp, xp, fs=16000) == pytest.approx(
             stoi(y, x, fs=16000), abs=0.02)
 
+    def test_stoi_both_matches_separate_calls(self):
+        from rsrgan_tpu.eval import stoi_both
+        x = speechlike(16000, seed=40)
+        n = np.std(x) * np.random.default_rng(41).standard_normal(len(x))
+        y = x + 0.7 * n
+        s, e = stoi_both(y, x, fs=16000)
+        assert s == pytest.approx(stoi(y, x, fs=16000), abs=1e-12)
+        assert e == pytest.approx(estoi(y, x, fs=16000), abs=1e-12)
+
     def test_too_short_raises(self):
         x = speechlike(2000, seed=39)
         with pytest.raises(ValueError, match="too short"):
