@@ -100,15 +100,24 @@ def main(argv=None) -> int:
     for row in rows:
         print(" ".join(f"{k}={v:.3f}" if isinstance(v, float) else f"{v}"
                        for k, v in row.items()))
+    def _jsonable(v):
+        # json.dumps would emit the bare token NaN (invalid JSON);
+        # absent values serialize as null instead
+        if isinstance(v, float) and not np.isfinite(v):
+            return None
+        return v
+
     keys = [k for k in rows[0] if k != "utt_id"]
-    summary = {f"mean_{k}": round(float(np.nanmean([r[k] for r in rows])), 4)
-               for k in keys}
+    vals = {k: [r[k] for r in rows if np.isfinite(r[k])] for k in keys}
+    summary = {f"mean_{k}": (round(float(np.mean(v)), 4) if v else None)
+               for k, v in vals.items()}
     summary["num_utts"] = len(rows)
     print(json.dumps(summary))
     if args.per_utt:
         with open(args.per_utt, "w") as f:
             for row in rows:
-                f.write(json.dumps(row) + "\n")
+                f.write(json.dumps(
+                    {k: _jsonable(v) for k, v in row.items()}) + "\n")
     return 0
 
 

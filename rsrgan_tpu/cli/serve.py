@@ -52,11 +52,20 @@ def load_generator_params(args):
     """The generator's param tree from a training checkpoint."""
     from rsrgan_tpu.cli.train import build_trainer, model_name
     from rsrgan_tpu.serving.streaming import SUPPORTED_VARIANTS
-    from rsrgan_tpu.training import load_checkpoint
+    from rsrgan_tpu.training import load_checkpoint, read_checkpoint_meta
 
     if args.g_type not in SUPPORTED_VARIANTS:
         raise SystemExit(f"serve supports --g_type in {SUPPORTED_VARIANTS} "
                          f"(got {args.g_type})")
+    meta = read_checkpoint_meta(args.save_dir, model_name(args))
+    if meta is not None and meta.get("g_type") not in (None, args.g_type):
+        # the param trees of res_lstm_l / res_lstm_base are shape-identical,
+        # so only this sidecar can catch serving with the wrong wiring
+        raise SystemExit(
+            f"checkpoint in {args.save_dir} was trained with "
+            f"--g_type={meta['g_type']} but serve got "
+            f"--g_type={args.g_type}; serving with the wrong wiring would "
+            "silently produce garbage")
     trainer = build_trainer(args, jnp.float32)
     rng = jax.random.PRNGKey(0)
     x = jnp.zeros((1, 8, args.input_dim), jnp.float32)

@@ -218,6 +218,16 @@ def model_name(args) -> str:
             "dnn": "DNNTrainer", "segan": "SEGAN"}[args.trainer]
 
 
+def ckpt_meta(args) -> dict:
+    """Model-config sidecar saved next to checkpoints; loaders use it to
+    validate wiring the param tree can't encode (res_lstm_l vs
+    res_lstm_base trees are shape-identical)."""
+    return {"trainer": args.trainer, "g_type": args.g_type,
+            "input_dim": args.input_dim, "output_dim": args.output_dim,
+            "left_context": args.left_context,
+            "right_context": args.right_context}
+
+
 def make_hparams(args, num_devices: int):
     return {"g_lr": jnp.float32(args.g_learning_rate * num_devices),
             "d_lr": jnp.float32(args.d_learning_rate * num_devices),
@@ -467,7 +477,7 @@ def run_sequence_training(args) -> int:
         if tracker.check(iteration):
             if is_coordinator():
                 save_checkpoint(args.save_dir, name, jax.device_get(state),
-                                iteration + 1)
+                                iteration + 1, meta=ckpt_meta(args))
             log(f"Iteration {iteration + 1}: Nnet Accepted. "
                 f"Save model SUCCESS.")
         else:
@@ -589,7 +599,7 @@ def run_frame_training(args) -> int:
         if g_loss_new < g_loss_prev:
             if is_coordinator():
                 save_checkpoint(args.save_dir, name, jax.device_get(state),
-                                epoch + 1)
+                                epoch + 1, meta=ckpt_meta(args))
             log(f"Epoch {epoch + 1}: Nnet Accepted. Save model SUCCESS.")
             g_rel_impr = (g_loss_prev - g_loss_new) / g_loss_prev
             g_loss_prev = g_loss_new

@@ -100,7 +100,9 @@ def _decode_compressed(payload: bytes, min_value: float, value_range: float,
     mid = p25[:, None] + (p75 - p25)[:, None] * (v - 64.0) * (1.0 / 128.0)
     hi = p75[:, None] + (p100 - p75)[:, None] * (v - 192.0) * (1.0 / 63.0)
     out = np.where(v < 64, lo, np.where(v <= 192, mid, hi))
-    return np.ascontiguousarray(out.T)  # column-major payload -> [rows, cols]
+    # column-major payload -> [rows, cols]; float32 like every other read
+    # path (and like the native codec, so both backends agree in dtype)
+    return np.ascontiguousarray(out.T, dtype=np.float32)
 
 
 def _read_text_matrix(buf, first: bytes) -> np.ndarray:
@@ -156,7 +158,7 @@ def read_matrix(buf, dtype_hint: Optional[str] = None) -> np.ndarray:
                 data = np.frombuffer(buf.read(rows * cols), dtype=np.uint8)
                 mat = min_value + value_range * (1.0 / 255.0) * (
                     data.astype(np.float64))
-            return mat.reshape(rows, cols)
+            return mat.reshape(rows, cols).astype(np.float32)
         if kind != b"CM ":
             raise ArkFormatError(f"unsupported compressed format {kind!r}")
         min_value, value_range, rows, cols = _GLOBAL_HEADER.unpack(

@@ -51,6 +51,14 @@ class StoreWriter:
         self._f.write(inputs.tobytes())
         if labels is not None:
             labels = np.ascontiguousarray(labels, dtype="<f4")
+            if labels.shape[0] != inputs.shape[0]:
+                # catch it here with the utt named, not as an opaque
+                # broadcast error in the batcher's paired row fill
+                raise ValueError(
+                    f"utt {utt_id}: inputs have {inputs.shape[0]} frames "
+                    f"but labels have {labels.shape[0]} — paired "
+                    "utterances must be frame-aligned (trim the clean/"
+                    "corrupted wavs to equal length before extraction)")
             entry.update({
                 "lo": self._f.tell(), "lr": int(labels.shape[0]),
                 "lc": int(labels.shape[1]),

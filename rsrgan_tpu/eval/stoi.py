@@ -64,6 +64,10 @@ def _remove_silent_frames(x: np.ndarray, y: np.ndarray):
     then overlap-add the kept (windowed) frames back into signals."""
     win = _hann(FRAME_LEN)
     xf, yf = _frame(x, win), _frame(y, win)
+    if len(xf) == 0:
+        raise ValueError(
+            f"signal too short for STOI: {len(x)} samples at {FS} Hz, "
+            f"need >= {FRAME_LEN} (one analysis frame)")
     energies_db = 20.0 * np.log10(np.linalg.norm(xf, axis=1) + _EPS)
     mask = energies_db > energies_db.max() - DYN_RANGE_DB
     xf, yf = xf[mask], yf[mask]

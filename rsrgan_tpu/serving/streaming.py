@@ -8,9 +8,14 @@ dense), so chunked processing with carried recurrent state is EXACT: this
 module recomputes the generator forward from the trained parameter tree
 with explicit (c, h) state threading and a jitted per-chunk step.
 
-Supported wirings (validated against the checkpoint's parameter tree, so
-feeding a mismatched checkpoint raises instead of silently producing
-garbage):
+Supported wirings. The constructor validates the checkpoint's parameter
+tree against the variant's expected shape (cell count, dense heads,
+peephole/projection params), so structurally mismatched checkpoints
+raise. Caveat: ``res_lstm_l`` and ``res_lstm_base`` have IDENTICAL tree
+shapes (they differ only in residual wiring), which no tree check can
+distinguish — `cli/serve.py` closes that hole by validating ``--g_type``
+against the checkpoint's ``.meta.json`` sidecar
+(training/checkpoints.py).
 
 * ``res_lstm_l``  — 4 layers, layer residual (models/res_lstm_l.py)
 * ``res_lstm_base`` — 4 stacked layers, no residual (res_lstm_base.py)

@@ -303,16 +303,21 @@ def corrupt_utterance(speech: np.ndarray, rooms: Sequence[Room],
     """
     out = speech.astype(np.float32)
     speech_dur = len(speech) / float(opts.sample_rate)
-    if not rooms:
-        return out
-    room = pick_item_with_probability(rng, rooms)
-    speech_rir_entry = pick_item_with_probability(rng, room.rirs)
-    if rng.random() < opts.speech_rvb_probability:
-        speech_rir = read_wav_fn(speech_rir_entry.location)
-        out = reverberate(out, speech_rir, opts.shift_output,
-                          opts.normalize_output)
+    room = speech_rir_entry = None
+    if rooms:
+        room = pick_item_with_probability(rng, rooms)
+        speech_rir_entry = pick_item_with_probability(rng, room.rirs)
+        if rng.random() < opts.speech_rvb_probability:
+            speech_rir = read_wav_fn(speech_rir_entry.location)
+            out = reverberate(out, speech_rir, opts.shift_output,
+                              opts.normalize_output)
 
-    iso_list = iso_noise_dict.get(speech_rir_entry.room_id, [])
+    # No rooms (simulate --noise_list without --rir_list, an extension
+    # past the reference's always-reverberant recipe): the speech stays
+    # dry, point-source noises mix unconvolved, and room-linked
+    # isotropic noises have no room to come from.
+    iso_list = (iso_noise_dict.get(speech_rir_entry.room_id, [])
+                if speech_rir_entry is not None else [])
     if iso_list and (rng.random()
                      < opts.isotropic_noise_addition_probability):
         noise_entry = pick_item_with_probability(rng, iso_list)
@@ -328,10 +333,11 @@ def corrupt_utterance(speech: np.ndarray, rooms: Sequence[Room],
             noise_entry = pick_item_with_probability(rng,
                                                      pointsource_noises)
             noise = read_wav_fn(noise_entry.location).astype(np.float32)
-            noise_rir = read_wav_fn(
-                pick_item_with_probability(rng, room.rirs).location)
-            noise = reverberate(noise, noise_rir, shift_output=False,
-                                normalize_output=True)
+            if room is not None:
+                noise_rir = read_wav_fn(
+                    pick_item_with_probability(rng, room.rirs).location)
+                noise = reverberate(noise, noise_rir, shift_output=False,
+                                    normalize_output=True)
             if noise_entry.bg_fg_type == "background":
                 snr = float(rng.uniform(*opts.background_snr_bounds))
                 out = mix_at_snr(out, noise, snr, start_time=0,

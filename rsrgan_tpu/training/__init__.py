@@ -3,6 +3,7 @@
 from rsrgan_tpu.training.checkpoints import (latest_checkpoint,
                                              load_checkpoint,
                                              load_newest_state,
+                                             read_checkpoint_meta,
                                              save_checkpoint,
                                              save_periodic_snapshot,
                                              swap_in_ema)

@@ -8,6 +8,7 @@ restore (``moving_average=True``) for eval/decode.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, List, Optional
 
@@ -27,8 +28,23 @@ def _list_checkpoints(save_dir: str, name: str) -> List[str]:
     return sorted(files, key=lambda f: int(f[len(name) + 1:-5]))
 
 
+def checkpoint_meta_path(save_dir: str, name: str) -> str:
+    return os.path.join(save_dir, f"{name}.meta.json")
+
+
+def read_checkpoint_meta(save_dir: str, name: str) -> Optional[dict]:
+    """The model-config sidecar written by save_checkpoint (None for
+    checkpoints from before it existed)."""
+    path = checkpoint_meta_path(save_dir, name)
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
 def save_checkpoint(save_dir: str, name: str, state: Any, step: int,
-                    max_to_keep: int = 10) -> str:
+                    max_to_keep: int = 10,
+                    meta: Optional[dict] = None) -> str:
     os.makedirs(save_dir, exist_ok=True)
     path = os.path.join(save_dir, f"{name}-{step}.ckpt")
     # atomic write: a crash (or a concurrent multi-host reader on a shared
@@ -36,6 +52,14 @@ def save_checkpoint(save_dir: str, name: str, state: Any, step: int,
     with open(path + ".tmp", "wb") as f:
         f.write(flax.serialization.to_bytes(state))
     os.replace(path + ".tmp", path)
+    if meta is not None:
+        # model-config sidecar: lets loaders validate wiring that the
+        # parameter tree alone cannot distinguish (e.g. res_lstm_l vs
+        # res_lstm_base share an identical tree shape)
+        mpath = checkpoint_meta_path(save_dir, name)
+        with open(mpath + ".tmp", "w") as f:
+            json.dump(meta, f, indent=1)
+        os.replace(mpath + ".tmp", mpath)
     with open(_checkpoint_file(save_dir) + ".tmp", "w") as f:
         f.write(os.path.basename(path) + "\n")
     os.replace(_checkpoint_file(save_dir) + ".tmp",

@@ -83,7 +83,10 @@ class TestArkCodec:
                     expect[r, c] = p25 + (p75 - p25) * (v - 64) / 128.0
                 else:
                     expect[r, c] = p75 + (p100 - p75) * (v - 192) / 63.0
-        np.testing.assert_allclose(got, expect, rtol=1e-12)
+        # the decoder computes in float64 then returns float32 (the dtype
+        # every read path shares) — expected must be cast the same way
+        assert got.dtype == np.float32
+        np.testing.assert_array_equal(got, expect.astype(np.float32))
 
     def test_compressed_end_to_end(self, tmp_path, rng):
         rows, cols = 17, 4
@@ -157,11 +160,13 @@ class TestArkCodec:
         m2 = read_ark_matrix(ark, pos2)
         expect2 = (min_value + value_range
                    * codes16.astype(np.float64) / 65535.0).reshape(rows, cols)
-        np.testing.assert_allclose(m2, expect2, rtol=0, atol=1e-12)
+        assert m2.dtype == np.float32
+        np.testing.assert_array_equal(m2, expect2.astype(np.float32))
         m3 = read_ark_matrix(ark, pos3)
         expect3 = (min_value + value_range
                    * codes8.astype(np.float64) / 255.0).reshape(rows, cols)
-        np.testing.assert_allclose(m3, expect3, rtol=0, atol=1e-12)
+        assert m3.dtype == np.float32
+        np.testing.assert_array_equal(m3, expect3.astype(np.float32))
 
     def test_cm2_write_read_roundtrip_accuracy(self, rng):
         """CM2 is a uniform 16-bit quantizer: error <= range/65535."""
@@ -290,6 +295,17 @@ class TestSplice:
 
 
 class TestStore:
+    def test_rejects_frame_misaligned_pair(self, tmp_path, rng):
+        """Different input/label frame counts (e.g. a wet file keeping the
+        reverb tail) must fail at store build with the utt named, not as
+        a broadcast error in the batcher."""
+        with StoreWriter(str(tmp_path / "bad.rtu")) as w:
+            with pytest.raises(ValueError, match="u0.*503 frames.*500"):
+                w.add("u0", rng.normal(size=(503, 5)).astype(np.float32),
+                      rng.normal(size=(500, 2)).astype(np.float32))
+            w.add("u1", rng.normal(size=(10, 5)).astype(np.float32),
+                  rng.normal(size=(10, 2)).astype(np.float32))
+
     def test_store_roundtrip(self, tmp_path, rng):
         path = str(tmp_path / "shard.rtu")
         utts = {f"u{i}": (rng.normal(size=(8 + i, 5)).astype(np.float32),

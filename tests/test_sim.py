@@ -190,6 +190,21 @@ class TestPlacementSemantics:
         assert len(set(starts)) > 10
         assert max(starts) > 0
 
+    def test_noises_mix_without_rooms(self, rng):
+        """--noise_list without --rir_list (rooms=[]): the speech stays
+        dry but point-source noises must still be mixed in, unconvolved
+        (regression: an early-return skipped them silently)."""
+        rooms, noises, iso, wavs = _two_room_setup(rng)
+        speech = rng.normal(size=4000).astype(np.float32) * 100
+        opts = SimulationOptions(isotropic_noise_addition_probability=0.0)
+        changed = 0
+        for seed in range(10):
+            out = corrupt_utterance(speech, [], noises, iso, opts,
+                                    np.random.default_rng(seed),
+                                    lambda p: wavs[p])
+            changed += int(np.any(out != speech))
+        assert changed > 0
+
     def test_noise_rir_from_speech_room(self, rng):
         rooms, noises, iso, wavs = _two_room_setup(rng)
         speech = rng.normal(size=4000).astype(np.float32) * 100

@@ -250,6 +250,21 @@ class TestMseTrainer:
                         jax.tree.leaves(state.net.ema)):
             np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
 
+    def test_checkpoint_meta_sidecar(self, rng, tmp_path):
+        """save_checkpoint(meta=...) writes a readable .meta.json; absent
+        meta reads back as None (pre-sidecar checkpoints)."""
+        from rsrgan_tpu.training import read_checkpoint_meta
+
+        gen = DnnGenerator(output_dim=D_OUT, units=8)
+        trainer = MseTrainer(gen, output_dim=D_OUT, sequence_mode=False)
+        x = jnp.asarray(rng.normal(size=(4, D_IN)), jnp.float32)
+        state = trainer.init_state(jax.random.PRNGKey(0), x)
+        assert read_checkpoint_meta(str(tmp_path), "M") is None
+        save_checkpoint(str(tmp_path), "M", state, 1,
+                        meta={"g_type": "res_lstm_l", "input_dim": 257})
+        assert read_checkpoint_meta(str(tmp_path), "M") == {
+            "g_type": "res_lstm_l", "input_dim": 257}
+
     def test_max_to_keep_rotation(self, rng, tmp_path):
         gen = DnnGenerator(output_dim=D_OUT, units=8)
         trainer = MseTrainer(gen, output_dim=D_OUT, sequence_mode=False)

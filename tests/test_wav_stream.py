@@ -181,3 +181,16 @@ def test_serve_cli_wav_mode(tmp_path):
     assert len(y) == (F - 1) * opts.window_shift + opts.window_size
     with open(os.path.join(out_dir, "wav.scp")) as f:
         assert f.read().startswith("u0 ")
+
+    # variant mismatch against the checkpoint's meta sidecar must refuse
+    # loudly: res_lstm_l vs res_lstm_base trees are shape-identical, so
+    # this is the only guard (training/checkpoints.py meta)
+    from rsrgan_tpu.training.checkpoints import checkpoint_meta_path
+    import json
+    with open(checkpoint_meta_path(save_dir, "GAN_RNN"), "w") as f:
+        json.dump({"g_type": "res_lstm_base"}, f)
+    with pytest.raises(SystemExit, match="res_lstm_base"):
+        serve_cli.main([
+            f"--save_dir={save_dir}", f"--data_dir={data_dir}",
+            f"--wav_scp={wav_scp}", "--input_dim=257", "--output_dim=257",
+            "--g_type=res_lstm_l"])
