@@ -825,7 +825,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--init_disc_noise_std", type=float, default=0.0)
     p.add_argument("--l2_scale", type=float, default=0.00001)
     p.add_argument("--num_gpu", type=int, default=1,
-                   help="number of devices (data-parallel replicas)")
+                   help="number of devices (data-parallel replicas); with "
+                        "--decode --decode_batch_size>1 it also shards "
+                        "decode batches over the mesh")
     # frame-trainer schedule flags (train_dnn.py)
     p.add_argument("--start_decay_impr", type=float, default=0.003)
     p.add_argument("--end_decay_impr", type=float, default=0.0005)
