@@ -281,3 +281,28 @@ class TestCli:
         assert score_cli.main([
             "--mode", "feats", "--est_scp", str(feat_dir / "feats.scp"),
             "--ref_scp", str(feat_dir / "feats.scp")]) == 0
+
+    def test_score_intelligibility_flag_and_nan_summary(self, tmp_path,
+                                                        capsys):
+        """--intelligibility=false drops stoi/estoi entirely; with only
+        sub-STOI-length utterances the summary stays valid JSON (null,
+        never the bare NaN token)."""
+        from rsrgan_tpu.cli import score as score_cli
+
+        wav = tmp_path / "s.wav"
+        write_wav(str(wav), speechlike(2000, seed=50))
+        for name in ("est.scp", "ref.scp"):
+            with open(tmp_path / name, "w") as f:
+                f.write(f"u0 {wav}\n")
+        args = ["--mode", "wav", "--est_scp", str(tmp_path / "est.scp"),
+                "--ref_scp", str(tmp_path / "ref.scp"),
+                "--per_utt", str(tmp_path / "per_utt.jsonl")]
+        assert score_cli.main(args) == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert summary["mean_stoi"] is None  # too short -> undefined
+        with open(tmp_path / "per_utt.jsonl") as f:
+            assert json.loads(f.read())["stoi"] is None
+
+        assert score_cli.main(args + ["--intelligibility=false"]) == 0
+        summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "mean_stoi" not in summary and "mean_snr_db" in summary
