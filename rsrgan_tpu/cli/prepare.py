@@ -23,6 +23,7 @@ import os
 import random
 import sys
 
+from rsrgan_tpu.cli import str2bool
 from rsrgan_tpu.data import (build_store_from_scp, convert_cmvn_to_numpy,
                              load_cmvn_npz)
 
@@ -143,10 +144,6 @@ def cmd_from_tfrecords(args) -> int:
     print(f"Repacked {n} utterances from {len(args.tfrecords)} "
           f"TFRecord file(s) to {out_path}")
     return 0
-
-
-def str2bool(v: str) -> bool:
-    return str(v).lower() in ("yes", "true", "t", "1")
 
 
 def build_parser() -> argparse.ArgumentParser:

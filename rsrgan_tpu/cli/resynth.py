@@ -6,7 +6,7 @@ did to the signal. This closes the loop:
 
     python -m rsrgan_tpu.cli.resynth \
         --enhanced_scp exp/test/feats.scp --wav_scp noisy_wav.scp \
-        --out_dir exp/test/wav [--no_raw_energy] [--dither ...]
+        --out_dir exp/test/wav [--no_raw_energy]
 
 Each utterance's enhanced log-power spectrum (decode output, already
 CMVN-denormalized by `train --decode`) is combined with the phase of the

@@ -26,6 +26,7 @@ import sys
 
 import numpy as np
 
+from rsrgan_tpu.cli import str2bool
 from rsrgan_tpu.data.kaldi_ark import ScpReader
 from rsrgan_tpu.eval import feature_mse, lsd_from_lps, seg_snr, si_snr, snr
 from rsrgan_tpu.eval.stoi import stoi_both
@@ -44,12 +45,12 @@ def main(argv=None) -> int:
     p.add_argument("--ref_scp", required=True)
     p.add_argument("--per_utt", default=None,
                    help="optional path for a per-utterance JSONL dump")
-    p.add_argument("--intelligibility", type=lambda s: s.lower() != "false",
+    p.add_argument("--intelligibility", type=str2bool,
                    default=True,
                    help="wav mode: compute STOI/ESTOI (host-side "
                         "~O(0.5 s)/utt on this machine; set false to skip "
                         "on large test sets)")
-    p.add_argument("--raw_energy", type=lambda s: s.lower() != "false",
+    p.add_argument("--raw_energy", type=str2bool,
                    default=True,
                    help="feats mode: slot 0 is frame energy; excluded "
                         "from LSD (default true, matching extraction)")

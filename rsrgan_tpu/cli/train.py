@@ -781,8 +781,7 @@ def _decode_batched(args, test_store, infer, labels_cmvn, writer,
 
 # ---------------------------------------------------------------------------
 
-def str2bool(v) -> bool:
-    return str(v).lower() in ("yes", "true", "t", "1")
+from rsrgan_tpu.cli import str2bool  # noqa: E402  (shared flag parser)
 
 
 def build_parser() -> argparse.ArgumentParser:

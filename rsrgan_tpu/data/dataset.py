@@ -119,6 +119,14 @@ class SequenceBatcher:
             inputs[row, t_i:] = 0.0
             if labels is not None:
                 lab = self.store.labels(i)
+                if lab.shape[0] != t_i:
+                    # legacy stores written before StoreWriter rejected
+                    # frame-misaligned pairs fail legibly, not with a
+                    # numpy broadcast error
+                    raise ValueError(
+                        f"utt {self.store.utt_ids[i]}: inputs have {t_i} "
+                        f"frames but labels have {lab.shape[0]}; the store "
+                        f"was written from frame-misaligned scp pairs")
                 labels[row, :t_i] = lab
                 labels[row, t_i:] = 0.0
         return SequenceBatch(utt_ids, inputs, labels, lengths)

@@ -362,6 +362,18 @@ class TestBatchers:
             for row, ln in enumerate(b.lengths):
                 assert np.all(b.inputs[row, ln:] == 0)
 
+    def test_batcher_names_utt_on_legacy_misaligned_labels(self, tmp_path,
+                                                           rng):
+        """Stores written before StoreWriter rejected frame-misaligned
+        pairs must fail in the batcher with the utt named, not with an
+        opaque numpy broadcast error."""
+        store = _make_store(tmp_path, rng, [200, 200])
+        orig = store.labels
+        store.labels = lambda i: orig(i)[:-3]
+        batcher = SequenceBatcher(store, batch_size=2, shuffle=False)
+        with pytest.raises(ValueError, match="u0.*200 frames.*197"):
+            next(iter(batcher))
+
     def test_sequence_batcher_drops_ragged(self, tmp_path, rng):
         lengths = [210, 215, 220]  # same bucket, batch 2 -> one batch
         store = _make_store(tmp_path, rng, lengths)

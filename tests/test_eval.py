@@ -306,3 +306,12 @@ class TestCli:
         assert score_cli.main(args + ["--intelligibility=false"]) == 0
         summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "mean_stoi" not in summary and "mean_snr_db" in summary
+
+        # every falsy spelling train.py's str2bool accepts works here too
+        # (a bare lambda used to treat "0"/"no" as True)
+        for spelling in ("0", "no", "False"):
+            assert score_cli.main(
+                args + [f"--intelligibility={spelling}"]) == 0
+            summary = json.loads(
+                capsys.readouterr().out.strip().splitlines()[-1])
+            assert "mean_stoi" not in summary
