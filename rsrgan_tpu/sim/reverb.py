@@ -19,11 +19,18 @@ reverberate/run.sh:25-64):
   ``round(random()*speech_dur, 2)`` seconds (:218-227)
 * isotropic noises are room-linked (``iso_noise_dict[speech_rir.room_id]``,
   :267-281), mixed unconvolved, extended to the full duration
-
-Known deviation vs the reference (CLI-vs-direct-execution): the SNR scale
-here is computed from the power of the *current mixture* over its full
-length, whereas Kaldi ``wav-reverberate`` uses the dry signal's
-early-reverberation energy when an RIR is supplied.
+* SNR energy basis per Kaldi ``wav-reverberate``: when the speech is
+  convolved with an RIR, every additive noise is scaled against the DRY
+  signal's early-reverberation energy — the dry speech convolved with the
+  RIR segment from 1 ms before to 50 ms after its peak
+  (``ComputeEarlyReverbEnergy``) — and ``--normalize-output=true`` scales
+  the FINAL mixture back to the dry signal's power (the reference builds
+  one wav-reverberate call carrying ``--impulse-response`` +
+  ``--additive-signals`` + ``--normalize-output``,
+  reverberate_bash.py:219-227,377). When the speech stays dry (the
+  ``--noise_list``-without-``--rir_list`` extension, or the rvb
+  probability not drawn), the basis is the current mixture's power at mix
+  time and no global renormalization runs, as before.
 
 The convolutions run as one jitted rFFT multiply; corpus generation is an
 embarrassingly parallel host loop over utterances.
@@ -224,6 +231,24 @@ def reverberate(speech: np.ndarray, rir: np.ndarray,
     return wet
 
 
+def early_reverb_energy(speech: np.ndarray, rir: np.ndarray,
+                        sample_rate: int,
+                        sec_before_peak: float = 0.001,
+                        sec_after_peak: float = 0.05) -> float:
+    """Kaldi wav-reverberate's ``ComputeEarlyReverbEnergy``: mean power of
+    the DRY signal convolved with the early RIR segment (1 ms before to
+    50 ms after the signed peak). This is the signal-energy basis every
+    additive noise's SNR is computed against when an RIR is in play
+    (semantics invoked by the commands built at
+    reverberate_bash.py:219-227)."""
+    peak = int(np.argmax(rir))  # signed max, per Kaldi Vector::Max
+    start = max(0, peak - int(sec_before_peak * sample_rate))
+    end = min(len(rir), peak + int(sec_after_peak * sample_rate))
+    early = np.ascontiguousarray(rir[start:end], dtype=np.float32)
+    early_rev = fft_convolve(speech, early, len(speech))
+    return float(np.mean(early_rev ** 2))
+
+
 def extend_to_duration(noise: np.ndarray, length: int) -> np.ndarray:
     """wav-reverberate --duration=t semantics: loop the signal from its
     start to reach ``length`` samples, or truncate from the start
@@ -236,14 +261,21 @@ def extend_to_duration(noise: np.ndarray, length: int) -> np.ndarray:
 
 def mix_at_snr(speech: np.ndarray, noise: np.ndarray, snr_db: float,
                start_time: int = 0,
-               extend: bool = False) -> np.ndarray:
-    """Add ``noise`` scaled so that 10log10(P_speech/P_noise) == snr_db.
+               extend: bool = False,
+               signal_power: Optional[float] = None) -> np.ndarray:
+    """Add ``noise`` scaled so that 10log10(P_signal/P_noise) == snr_db.
 
     ``extend=True`` (background/isotropic noises) loops the noise to cover
     ``speech`` fully from ``start_time``; ``extend=False`` (foreground)
     keeps the noise's own duration, truncating whatever runs past the end
     of the speech (reverberate_bash.py:218-227 / wav-reverberate
     --start-times behavior).
+
+    ``signal_power`` is the Kaldi ``AddNoise`` path: the fixed energy
+    basis (the dry signal's early-reverberation energy) with the noise's
+    power taken over the full prepared noise even if its tail is
+    truncated at the end of the speech. ``None`` keeps the legacy basis:
+    the current mixture's full-length power against the mixed segment.
     """
     room = len(speech) - start_time
     if room <= 0:
@@ -252,11 +284,15 @@ def mix_at_snr(speech: np.ndarray, noise: np.ndarray, snr_db: float,
         segment = extend_to_duration(noise, room)
     else:
         segment = noise[:room]
-    p_speech = float(np.mean(speech ** 2))
-    p_noise = float(np.mean(segment ** 2))
-    if p_noise <= 0 or p_speech <= 0:
+    if signal_power is None:
+        p_signal = float(np.mean(speech ** 2))
+        p_noise = float(np.mean(segment ** 2))
+    else:
+        p_signal = signal_power
+        p_noise = float(np.mean((noise if not extend else segment) ** 2))
+    if p_noise <= 0 or p_signal <= 0:
         return speech
-    scale = np.sqrt(p_speech / (p_noise * (10.0 ** (snr_db / 10.0))))
+    scale = np.sqrt(p_signal / (p_noise * (10.0 ** (snr_db / 10.0))))
     out = speech.copy()
     out[start_time:start_time + len(segment)] += scale * segment
     return out
@@ -299,18 +335,29 @@ def corrupt_utterance(speech: np.ndarray, rooms: Sequence[Room],
     * noise convolution runs with wav-reverberate's own defaults
       (normalize on, no peak shift) — the speech-level --shift-output /
       --normalize-output flags apply to the speech only (:219-224 build
-      bare ``--impulse-response`` commands).
+      bare ``--impulse-response`` commands);
+    * when the speech IS reverberated, every noise's SNR scale uses the
+      dry signal's early-reverberation energy (wav-reverberate
+      ``ComputeEarlyReverbEnergy``) and --normalize-output scales the
+      FINAL mixture back to the dry power — one wav-reverberate call
+      carries the RIR, the noises and the normalize flag (:219-227,377).
     """
     out = speech.astype(np.float32)
     speech_dur = len(speech) / float(opts.sample_rate)
+    power_before = float(np.mean(out ** 2))
+    signal_power = None  # per-mix current power (dry-speech extension path)
+    reverberated = False
     room = speech_rir_entry = None
     if rooms:
         room = pick_item_with_probability(rng, rooms)
         speech_rir_entry = pick_item_with_probability(rng, room.rirs)
         if rng.random() < opts.speech_rvb_probability:
             speech_rir = read_wav_fn(speech_rir_entry.location)
+            signal_power = early_reverb_energy(out, speech_rir,
+                                               opts.sample_rate)
             out = reverberate(out, speech_rir, opts.shift_output,
-                              opts.normalize_output)
+                              normalize_output=False)
+            reverberated = True
 
     # No rooms (simulate --noise_list without --rir_list, an extension
     # past the reference's always-reverberant recipe): the speech stays
@@ -323,7 +370,8 @@ def corrupt_utterance(speech: np.ndarray, rooms: Sequence[Room],
         noise_entry = pick_item_with_probability(rng, iso_list)
         noise = read_wav_fn(noise_entry.location).astype(np.float32)
         snr = float(rng.uniform(*opts.background_snr_bounds))
-        out = mix_at_snr(out, noise, snr, start_time=0, extend=True)
+        out = mix_at_snr(out, noise, snr, start_time=0, extend=True,
+                         signal_power=signal_power)
 
     if (pointsource_noises
             and rng.random() < opts.pointsource_noise_addition_probability
@@ -341,7 +389,7 @@ def corrupt_utterance(speech: np.ndarray, rooms: Sequence[Room],
             if noise_entry.bg_fg_type == "background":
                 snr = float(rng.uniform(*opts.background_snr_bounds))
                 out = mix_at_snr(out, noise, snr, start_time=0,
-                                 extend=True)
+                                 extend=True, signal_power=signal_power)
             else:
                 snr = float(rng.uniform(*opts.foreground_snr_bounds))
                 # uniform sampling — the reference fork's change vs stock
@@ -350,5 +398,9 @@ def corrupt_utterance(speech: np.ndarray, rooms: Sequence[Room],
                 start = min(int(start_sec * opts.sample_rate),
                             len(speech))
                 out = mix_at_snr(out, noise, snr, start_time=start,
-                                 extend=False)
+                                 extend=False, signal_power=signal_power)
+    if reverberated and opts.normalize_output:
+        power_after = float(np.mean(out ** 2))
+        if power_after > 0:
+            out = out * np.sqrt(power_before / power_after)
     return out

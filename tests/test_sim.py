@@ -166,6 +166,77 @@ def _two_room_setup(rng):
     return rooms, noises, iso, wavs
 
 
+class TestSnrEnergyBasis:
+    """Kaldi wav-reverberate's SNR semantics when an RIR is supplied:
+    noise scaled against the DRY signal's early-reverberation energy, and
+    --normalize-output scaling the final mixture to the dry power
+    (command semantics built at reverberate_bash.py:219-227,377)."""
+
+    def test_early_reverb_energy_hand_computed(self, rng):
+        from rsrgan_tpu.sim import early_reverb_energy
+
+        fs = 16000
+        speech = rng.normal(size=4000).astype(np.float32) * 100
+        rir = np.zeros(2400, np.float32)
+        rir[100] = 1.0     # signed peak
+        rir[50] = -2.0     # larger |.| but negative: NOT the peak
+        rir[300] = 0.5     # inside the early window (peak + 800 samples)
+        rir[920] = 0.4     # past peak + 50 ms: excluded
+        # window = [peak - 1 ms, peak + 50 ms) = [84, 900)
+        early = rir[84:900]
+        expected = float(np.mean(
+            np.convolve(speech, early)[:len(speech)] ** 2))
+        got = early_reverb_energy(speech, rir, fs)
+        assert abs(got - expected) / expected < 1e-3
+
+    def test_corruption_matches_hand_computed_kaldi_formula(self, rng):
+        """Full corrupt_utterance vs a by-hand wav-reverberate: an RIR
+        with a strong LATE tail inflates the wet power; the noise scale
+        must come from the dry early energy, and the final mixture must
+        be renormalized to the dry power."""
+        from rsrgan_tpu.sim import Noise, Rir, Room
+
+        fs = 16000
+        n = 4000
+        speech = rng.normal(size=n).astype(np.float32) * 100
+        rir = np.zeros(1200, np.float32)
+        rir[0] = 1.0       # direct path (peak, zero delay)
+        rir[1000] = 0.9    # late tail, outside the 800-sample early window
+        noise = rng.normal(size=1500).astype(np.float32) * 7
+        wavs = {"r.wav": rir, "n.wav": noise}
+        rooms = [Room("A", rirs=[Rir("a", "A", "r.wav", 1.0)],
+                      probability=1.0)]
+        noises = [Noise("n", "n.wav", "point-source", "background",
+                        probability=1.0)]
+        snr = 10.0
+        opts = SimulationOptions(background_snr_bounds=(snr, snr),
+                                 isotropic_noise_addition_probability=0.0)
+        out = corrupt_utterance(speech, rooms, noises, {}, opts,
+                                np.random.default_rng(3),
+                                lambda p: wavs[p])
+
+        # ---- the same utterance by hand, straight from the Kaldi code ----
+        wet = np.convolve(speech, rir)[:n]          # shift = argmax = 0
+        early_energy = float(np.mean(
+            np.convolve(speech, rir[:800])[:n] ** 2))
+        # noise prep: convolved with a room RIR, power-normalized
+        n_wet = np.convolve(noise, rir)[:len(noise)]
+        n_wet = n_wet * np.sqrt(np.sum(noise ** 2) / np.sum(n_wet ** 2))
+        n_ext = np.tile(n_wet, -(-n // len(n_wet)))[:n]
+        scale = np.sqrt(early_energy
+                        / (np.mean(n_ext ** 2) * 10 ** (snr / 10.0)))
+        mix = wet + scale * n_ext
+        expected = mix * np.sqrt(np.mean(speech ** 2) / np.mean(mix ** 2))
+
+        np.testing.assert_allclose(out, expected, rtol=2e-3,
+                                   atol=2e-3 * np.std(expected))
+        # sanity: the legacy basis (wet mixture power, ~1.81x dry here)
+        # would scale the noise visibly differently
+        wrong_scale = np.sqrt(np.mean(wet ** 2)
+                              / (np.mean(n_ext ** 2) * 10 ** (snr / 10.0)))
+        assert abs(wrong_scale - scale) / scale > 0.2
+
+
 class TestPlacementSemantics:
     """reverberate_bash.py:215-227 / :267-281 placement fidelity."""
 
