@@ -76,13 +76,18 @@ def lstm_param_sharding(mesh: Mesh, path_str: str,
     if "model" not in mesh.axis_names:
         return NamedSharding(mesh, P())
     m = mesh.shape["model"]
-    if (leaf.ndim == 2 and "kernel" in path_str and "proj" not in path_str
-            and leaf.shape[1] % (4 * m) == 0):
+    # plain kernel/bias rules apply only inside LSTM cell modules
+    # (lstm_cell_N / cell_k / BnLstmCell_N); a Dense kernel whose output
+    # dim happens to divide 4*m (e.g. the 40-wide forward_out) must stay
+    # replicated — it is not a gate-dim tensor
+    in_cell = "cell" in path_str.lower()
+    if (leaf.ndim == 2 and in_cell and "kernel" in path_str
+            and "proj" not in path_str and leaf.shape[1] % (4 * m) == 0):
         return NamedSharding(mesh, P(None, "model"))
     if (leaf.ndim == 2 and "proj_kernel" in path_str
             and leaf.shape[0] % m == 0):
         return NamedSharding(mesh, P("model", None))
-    if (leaf.ndim == 1 and "bias" in path_str
+    if (leaf.ndim == 1 and in_cell and "bias" in path_str
             and leaf.shape[0] % (4 * m) == 0):
         return NamedSharding(mesh, P("model"))
     return NamedSharding(mesh, P())
