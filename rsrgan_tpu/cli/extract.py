@@ -102,6 +102,9 @@ def main(argv=None) -> int:
                    help="write a Kaldi TEXT archive (ark,t: equivalent)")
     args = p.parse_args(argv)
 
+    from rsrgan_tpu.tunnel import ensure_device_up
+    ensure_device_up()  # defend against the axon handoff futex hang
+
     frame_opts = FrameOptions(dither=args.dither)
     os.makedirs(args.output_dir, exist_ok=True)
     scp_path = os.path.join(args.output_dir, args.name + ".scp")

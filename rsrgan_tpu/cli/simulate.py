@@ -63,6 +63,9 @@ def main(argv=None) -> int:
         normalize_output=str(args.normalize_output).lower() == "true",
         seed=args.random_seed)
 
+    from rsrgan_tpu.tunnel import ensure_device_up
+    ensure_device_up()  # the jitted FFT convolve touches the default device
+
     rooms = parse_rir_list(args.rir_list) if args.rir_list else []
     pointsource, iso_noise_dict = (parse_noise_list(args.noise_list)
                                    if args.noise_list else ([], {}))

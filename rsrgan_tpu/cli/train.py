@@ -935,6 +935,8 @@ def main(argv=None) -> int:
         log(f"LOG: distributed process {pid}/{pcount}, "
             f"{jax.device_count()} global devices")
     enable_compilation_cache()
+    from rsrgan_tpu.tunnel import ensure_device_up
+    ensure_device_up()  # defend against the axon handoff futex hang
     log("*** Parsed arguments ***")
     log(json.dumps(vars(args), indent=1, default=str))
     if unparsed:

@@ -19,7 +19,11 @@ Kaldi ASR decode, /root/reference/README.md:36-48). PESQ remains out of
 scope: ITU-T P.862 reference code is licensed. No third-party STOI
 implementation exists in this image, so correctness is guarded by
 property tests (tests/test_eval.py: identity ~= 1, monotone in SNR,
-silence invariance, band/segment layout) rather than an oracle diff.
+silence invariance) plus VALUE-ANCHORED cases pinned to the papers'
+formulas: hand-derived one-third-octave band-to-bin ranges (2011 Sec.
+II-A), an exact Pearson-0.5 segment construction and an engaged
+-15 dB-clip case (2011 eqs. 4-5), and ESTOI's exact per-band gain
+invariance (2016 eqs. 2-4).
 
 Deviations from the common `pystoi` implementation: regularization uses
 a deterministic epsilon instead of random dither (scores are

@@ -85,6 +85,107 @@ class TestCommittedFixture:
         assert float(np.median(np.abs(j - o))) < 1e-4
 
 
+KALDI_GOLDEN = os.path.join(REPO, "tests", "fixtures", "kaldi_golden.npz")
+
+
+class TestKaldiGolden:
+    """STOCK-Kaldi goldens — auto-activates when
+    tests/fixtures/kaldi_golden.npz exists. The bundle is produced by a
+    one-time offline run of real compute-*-feats binaries
+    (tools/kaldi_golden.py export -> run_kaldi.sh on a Kaldi box ->
+    pack; README 'Dropping in Kaldi goldens'). Until the file is
+    committed these tests are reported skipped-with-reason, documenting
+    exactly what remains unverified in-image (docs/FEATURE_PARITY.md)."""
+
+    @pytest.fixture(scope="class")
+    def fx(self):
+        if not os.path.exists(KALDI_GOLDEN):
+            pytest.skip(
+                "tests/fixtures/kaldi_golden.npz not present — generate "
+                "offline with stock Kaldi via tools/kaldi_golden.py "
+                "(export -> run_kaldi.sh -> pack); see README")
+        return np.load(KALDI_GOLDEN)
+
+    @staticmethod
+    def _names(fx, prefix):
+        return sorted(k[len(prefix):] for k in fx.files
+                      if k.startswith(prefix))
+
+    def test_provenance_is_stock_kaldi(self, fx):
+        assert "Stock Kaldi" in str(fx["provenance"])
+
+    def test_lps_matches_kaldi(self, fx):
+        names = self._names(fx, "lps_")
+        names = [n for n in names if not n.startswith("hamming_")]
+        assert names, "bundle carries no lps_<name> goldens"
+        for name in names:
+            _assert_lps_parity(_jax_lps(fx[f"wave_{name}"]),
+                               fx[f"lps_{name}"], None)
+
+    def test_lps_hamming_matches_kaldi(self, fx):
+        """The reference README documents LPS with a hamming window
+        (README.md:33-35); the bundle carries that variant too."""
+        names = self._names(fx, "lps_hamming_")
+        if not names:
+            pytest.skip("bundle has no hamming-window goldens")
+        opts = frontend.SpectrogramOptions(frame_opts=frontend.FrameOptions(
+            dither=0.0, window_type="hamming"))
+        for name in names:
+            j = np.asarray(frontend.compute_spectrogram_np(
+                np.asarray(fx[f"wave_{name}"], np.float32), opts))
+            _assert_lps_parity(j, fx[f"lps_hamming_{name}"], None)
+
+    def test_mfcc_matches_kaldi(self, fx):
+        names = self._names(fx, "mfcc_")
+        assert names, "bundle carries no mfcc_<name> goldens"
+        for name in names:
+            j = _jax_mfcc(fx[f"wave_{name}"])
+            o = fx[f"mfcc_{name}"]
+            assert j.shape == o.shape
+            assert float(np.abs(j - o).max()) < 2e-2
+            assert float(np.median(np.abs(j - o))) < 1e-4
+
+
+def test_kaldi_golden_roundtrip_machinery(tmp_path):
+    """export -> (stand-in for the Kaldi box: arks written by our own
+    front-end) -> pack yields a loadable bundle with the expected keys
+    and byte-identical waves. Packaging machinery only — parity vs stock
+    Kaldi is asserted by TestKaldiGolden once a real bundle lands."""
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import kaldi_golden
+
+    from rsrgan_tpu.data.kaldi_ark import ArkWriter
+    from rsrgan_tpu.sim.wavio import read_wav
+
+    d = str(tmp_path / "golden")
+    assert kaldi_golden.main(["export", "--out_dir", d]) == 0
+    for fn in ("wav.scp", "mfcc_hires.conf", "run_kaldi.sh", "speech.wav"):
+        assert os.path.exists(os.path.join(d, fn)), fn
+    # stand-in Kaldi run: our own front-end writes the arks
+    names = [line.split()[0] for line in open(os.path.join(d, "wav.scp"))]
+    for feat, fn in (("lps", _jax_lps), ("mfcc", _jax_mfcc)):
+        with ArkWriter(os.path.join(d, f"{feat}.scp")) as w:
+            for name in names:
+                wave, _ = read_wav(os.path.join(d, f"{name}.wav"))
+                w.write_next_utt(os.path.join(d, f"{feat}.ark"), name,
+                                 fn(wave))
+    out = str(tmp_path / "kaldi_golden.npz")
+    assert kaldi_golden.main(["pack", "--kaldi_dir", d, "--out", out]) == 0
+    fx = np.load(out)
+    for name in names:
+        assert f"wave_{name}" in fx.files
+        assert f"lps_{name}" in fx.files and f"mfcc_{name}" in fx.files
+        wave, _ = read_wav(os.path.join(d, f"{name}.wav"))
+        np.testing.assert_array_equal(fx[f"wave_{name}"], wave)
+    assert "Stock Kaldi" in str(fx["provenance"])
+    # the deterministic waves match the committed oracle fixture's, so a
+    # future real bundle pins the SAME signals both oracles saw
+    ofx = np.load(FIXTURE)
+    np.testing.assert_allclose(fx["wave_speech"], ofx["wave_speech"],
+                               atol=1.0)
+
+
 class TestLiveOracle:
     """Rebuild the oracle and compare on fresh waves (needs g++)."""
 
