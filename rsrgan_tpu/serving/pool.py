@@ -30,6 +30,7 @@ Usage::
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional
 
 import jax.numpy as jnp
@@ -43,8 +44,15 @@ from rsrgan_tpu.serving.wav_stream import WavChain, WavStreamState
 
 class StreamPool:
     """Fixed-capacity pool of concurrent wav->wav enhancement streams
-    sharing one batched, masked, jitted generator step. Not thread-safe;
-    serialize calls externally."""
+    sharing one batched, masked, jitted generator step.
+
+    Thread-safe: open/feed/poll/close serialize on an internal lock, so
+    one driver thread per stream (the production shape) needs no external
+    coordination. Each stream's output is EXACT regardless of how its
+    frames interleave with other lanes' batched steps (masked-step
+    exact-continuation property, tests/test_stream_pool.py), so thread
+    scheduling cannot change results — only which dispatch carries them.
+    """
 
     def __init__(self, params, inputs_cmvn: Cmvn, labels_cmvn: Cmvn,
                  variant: str = "res_lstm_l",
@@ -64,6 +72,7 @@ class StreamPool:
         self._out: List[List[np.ndarray]] = [[] for _ in range(self.capacity)]
         self._zero_x = np.zeros((self.chunk_frames, self.chain.bins),
                                 np.float32)
+        self._lock = threading.RLock()
         self.steps_run = 0          # batched device dispatches
         self.frames_run = 0         # valid frames across all lanes
 
@@ -71,10 +80,15 @@ class StreamPool:
 
     @property
     def active(self) -> int:
-        return sum(s is not None for s in self._slots)
+        with self._lock:
+            return sum(s is not None for s in self._slots)
 
     def open(self) -> int:
         """Claim a free lane; returns the stream id. Raises when full."""
+        with self._lock:
+            return self._open_locked()
+
+    def _open_locked(self) -> int:
         for sid, slot in enumerate(self._slots):
             if slot is None:
                 self._slots[sid] = WavStreamState(self.chain)
@@ -141,22 +155,28 @@ class StreamPool:
     def feed(self, sid: int, samples: np.ndarray) -> np.ndarray:
         """Feed samples to stream ``sid``; opportunistically runs batched
         steps and returns this stream's newly finalized samples."""
-        slot = self._slots[sid]
-        if slot is None:
-            raise ValueError(f"stream {sid} is not open")
-        slot.push(samples)
-        self._drain()
-        return self._pop_out(sid)
+        with self._lock:
+            slot = self._slots[sid]
+            if slot is None:
+                raise ValueError(f"stream {sid} is not open")
+            slot.push(samples)
+            self._drain()
+            return self._pop_out(sid)
 
     def poll(self, sid: int) -> np.ndarray:
         """Collect output finalized for ``sid`` by other streams' steps."""
-        if self._slots[sid] is None:
-            raise ValueError(f"stream {sid} is not open")
-        return self._pop_out(sid)
+        with self._lock:
+            if self._slots[sid] is None:
+                raise ValueError(f"stream {sid} is not open")
+            return self._pop_out(sid)
 
     def close(self, sid: int) -> np.ndarray:
         """Flush stream ``sid`` (its buffered partial chunk rides a final
         masked step), free the lane, and return all remaining samples."""
+        with self._lock:
+            return self._close_locked(sid)
+
+    def _close_locked(self, sid: int) -> np.ndarray:
         slot = self._slots[sid]
         if slot is None:
             raise ValueError(f"stream {sid} is not open")

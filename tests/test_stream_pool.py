@@ -138,6 +138,51 @@ class TestStreamPool:
             assert len(got) == len(ref[i]), (i, len(got), len(ref[i]))
             assert snr_db(ref[i], got) > 60.0, i
 
+    def test_pool_thread_safe_drivers(self):
+        """One driver thread per stream (the production serving shape):
+        concurrent open/feed/close serialize on the pool's internal lock
+        and every stream still reproduces its dedicated single-stream
+        result exactly, whatever the thread interleaving."""
+        import threading
+
+        params = tiny_lps_generator_params()
+        rng = np.random.default_rng(5)
+        cmvns = make_cmvns(rng)
+        waves = [noisy_speech(n, 20 + i)
+                 for i, n in enumerate((9000, 14500, 5200, 7300))]
+        ref = [stream_alone(params, cmvns, w) for w in waves]
+        pool = StreamPool(params, cmvns[0], cmvns[1],
+                          variant="res_lstm_l", frame_opts=NODITHER,
+                          chunk_frames=16, capacity=4)
+        results = [None] * len(waves)
+        errors = []
+
+        def drive(i):
+            try:
+                rng_t = np.random.default_rng(100 + i)
+                sid = pool.open()
+                outs, pos = [], 0
+                while pos < len(waves[i]):
+                    n = int(rng_t.integers(300, 2500))
+                    outs.append(pool.feed(sid, waves[i][pos:pos + n]))
+                    pos += n
+                outs.append(pool.close(sid))
+                results[i] = np.concatenate(outs)
+            except Exception as e:  # surfaced by the main thread
+                errors.append((i, repr(e)))
+
+        threads = [threading.Thread(target=drive, args=(i,))
+                   for i in range(len(waves))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+        assert not errors, errors
+        for i in range(len(waves)):
+            assert results[i] is not None, f"driver {i} hung"
+            assert len(results[i]) == len(ref[i])
+            assert snr_db(ref[i], results[i]) > 60.0, i
+
     def test_lane_reuse_starts_fresh(self):
         """Opening a stream in a previously used lane reproduces a fresh
         stream exactly (recurrent state + DSP state cleared)."""
