@@ -427,6 +427,80 @@ def test_serve_streaming_matches_decode(corpus, tmp_path):
         np.testing.assert_allclose(streamed[u], offline[u], atol=1e-4)
 
 
+def test_rt60_aware_pipeline(tmp_path):
+    """RT60-aware variant e2e (make_tfrecords_rta.py:99-103): the
+    per-utterance reverberation-time scalar prepended as an extra LEADING
+    input column must flow through store build, the flagship G AND D
+    training step, decode (denormalized via the unaugmented labels cmvn)
+    and the checkpoint meta the serve path validates against."""
+    import json
+
+    data_dir = str(tmp_path / "data")
+    make_synthetic_corpus(data_dir, num_utts=8, input_dim=12, output_dim=5,
+                          min_len=30, max_len=60, seed=9)
+    assert prepare_cli.main(["cmvn", f"--inputs={data_dir}/inputs.cmvn",
+                             f"--labels={data_dir}/labels.cmvn",
+                             f"--save_dir={data_dir}"]) == 0
+    assert prepare_cli.main(["split", "--val_size=2",
+                             f"--data_dir={data_dir}", "--seed=1"]) == 0
+    # per-utt RT60 scalars for the whole corpus
+    rt60_scp = os.path.join(data_dir, "rt60.scp")
+    with open(os.path.join(data_dir, "inputs.scp")) as f:
+        ids = [line.split()[0] for line in f]
+    with open(rt60_scp, "w") as f:
+        for i, utt in enumerate(ids):
+            f.write(f"{utt} {0.2 + 0.05 * i:.3f}\n")
+    stores = os.path.join(data_dir, "stores")
+    for sub in ("tr", "cv"):
+        assert prepare_cli.main([
+            "make-store", f"--inputs={data_dir}/{sub}/inputs.scp",
+            f"--labels={data_dir}/{sub}/labels.scp",
+            f"--cmvn_dir={data_dir}", f"--output_dir={stores}",
+            f"--name={sub}", f"--rt60_scp={rt60_scp}"]) == 0
+        with open(os.path.join(data_dir, f"{sub}.list"), "w") as f:
+            f.write(os.path.join(stores, f"{sub}.rtu") + "\n")
+    assert prepare_cli.main([
+        "make-store", f"--inputs={data_dir}/cv/inputs.scp",
+        f"--cmvn_dir={data_dir}", f"--output_dir={stores}",
+        "--name=test", "--test", f"--rt60_scp={rt60_scp}"]) == 0
+    test_list = os.path.join(data_dir, "test.list")
+    with open(test_list, "w") as f:
+        f.write(os.path.join(stores, "test.rtu") + "\n")
+
+    # flagship GAN trainer at input_dim = 12 + 1 (the RT60 column)
+    save_dir = str(tmp_path / "rt60_exp")
+    rc = train_cli.main([
+        "--trainer=gan_rnn", "--g_type=res_lstm_l",
+        f"--data_dir={data_dir}",
+        f"--tr_list_file={os.path.join(data_dir, 'tr.list')}",
+        f"--cv_list_file={os.path.join(data_dir, 'cv.list')}",
+        f"--save_dir={save_dir}",
+        "--input_dim=13", "--output_dim=5", "--batch_size=2",
+        "--g_learning_rate=0.0005", "--d_learning_rate=0.001",
+        "--min_epoches=1", "--max_epoches=1", "--bf16=false",
+        "--init_disc_noise_std=0.05", "--l2_scale=0.0"])
+    assert rc == 0
+    # the serve-time validation sidecar records the AUGMENTED input dim
+    metas = [fn for fn in os.listdir(save_dir) if fn.endswith(".meta.json")]
+    assert metas, os.listdir(save_dir)
+    with open(os.path.join(save_dir, metas[0])) as f:
+        meta = json.load(f)
+    assert meta["input_dim"] == 13 and meta["g_type"] == "res_lstm_l"
+
+    # decode: denorm uses the unaugmented 5-dim labels cmvn
+    rc = train_cli.main([
+        "--decode", "--trainer=gan_rnn", "--g_type=res_lstm_l",
+        f"--data_dir={data_dir}", f"--test_list_file={test_list}",
+        f"--save_dir={save_dir}", "--input_dim=13", "--output_dim=5",
+        "--bf16=false"])
+    assert rc == 0
+    reader = ScpReader(os.path.join(save_dir, "test", "feats.scp"))
+    assert len(reader) == 2
+    for _, mat in reader:
+        assert mat.shape[1] == 5
+        assert np.isfinite(np.asarray(mat)).all()
+
+
 def test_plot_cli(tmp_path):
     """cli.plot renders train/cv curves from the metrics JSONL
     (generate_plots.py parity for the structured logs)."""
