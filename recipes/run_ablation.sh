@@ -1,0 +1,180 @@
+#!/bin/bash
+# GAN-vs-MSE-vs-baseline ablation at non-toy scale — the reference's core
+# claim (README.md:5,36-48: LSGAN training beats plain MSE regression for
+# dereverberation) demonstrated end-to-end through this framework.
+#
+#   synth speech (~hours) -> cli.simulate (reverb+noise) -> LPS features
+#   -> train res_lstm_l with (a) the flagship LSGAN schedule
+#      (run_gan_rnn_placeholder.sh:119-168: warm-up epoch at d_lr 1e-3,
+#      main run at d_lr 3e-4, g_lr 8e-5, 1 D : 2 G updates, mse_weight 10,
+#      disc noise 0.05, B=8) and (b) plain MSE (run_rnn.sh:125-145:
+#      g_lr 3e-4, 20-25 epochs, same G) on the SAME corpus
+#   -> decode the SAME held-out set with both
+#   -> resynthesize waveforms (enhanced LPS + noisy phase)
+#   -> report feature-MSE, LSD, SI-SNR, STOI, ESTOI for
+#      {no-enhancement, MSE, GAN} (ablation.md / ablation.json).
+#
+# Training is LPS->LPS (input 257-d LPS of corrupted audio -> clean 257-d
+# LPS) so the decode output is invertible to a waveform and intelligibility
+# metrics apply; the reference's LPS->MFCC mapping is exercised by
+# recipes/run_e2e_sim.sh instead.
+#
+# One TPU chip. Default scale: 4000 utts (~3.9 h audio, ~1.4M frames).
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+workdir=${1:-/tmp/rsrgan_ablation}
+num_utts=${2:-4000}
+val_size=${3:-200}
+gan_epochs=${4:-"18 20"}    # min max for the main GAN run
+mse_epochs=${5:-"20 25"}    # min max for the MSE run
+stage=${stage:-0}
+train_dir=$workdir/data/train
+gan_dir=$workdir/exp/gan_res_lstm_l
+mse_dir=$workdir/exp/mse_res_lstm_l
+
+if [ "$stage" -le 0 ]; then
+  rm -rf "$workdir" && mkdir -p "$train_dir"
+  echo "== stage 0: synthesize clean speech + rooms/noises =="
+  python - "$workdir" "$num_utts" <<'EOF'
+import sys
+from rsrgan_tpu.sim import make_sim_assets
+make_sim_assets(sys.argv[1] + "/sim", num_utts=int(sys.argv[2]),
+                min_dur_s=2.0, max_dur_s=5.0,
+                num_rooms=4, rirs_per_room=3, seed=37)
+EOF
+fi
+
+if [ "$stage" -le 1 ]; then
+  echo "== stage 1: corrupt (reverb + noise) =="
+  python -m rsrgan_tpu.cli.simulate \
+    --wav_scp=$workdir/sim/clean/wav.scp \
+    --rir_list=$workdir/sim/rir_list \
+    --noise_list=$workdir/sim/noise_list \
+    --output_dir=$workdir/sim/rvb \
+    --foreground_snrs=5:20 --background_snrs=5:20 \
+    --random_seed=1
+  sleep 15   # full tunnel release before the next TPU client
+fi
+
+if [ "$stage" -le 2 ]; then
+  echo "== stage 2: LPS features on both sides =="
+  python -m rsrgan_tpu.cli.extract \
+    --wav_scp=$workdir/sim/rvb/wav.scp --feat_type=spectrogram \
+    --output_dir=$train_dir --name=inputs --accumulate_cmvn
+  sleep 15
+  python -m rsrgan_tpu.cli.extract \
+    --wav_scp=$workdir/sim/clean/wav.scp --feat_type=spectrogram \
+    --output_dir=$train_dir --name=labels --accumulate_cmvn
+  sleep 15
+fi
+
+if [ "$stage" -le 3 ]; then
+  echo "== stage 3: cmvn + split + stores =="
+  python -m rsrgan_tpu.cli.prepare cmvn \
+    --inputs=$train_dir/inputs.cmvn --labels=$train_dir/labels.cmvn \
+    --save_dir=$train_dir
+  python -m rsrgan_tpu.cli.prepare split --val_size=$val_size \
+    --data_dir=$train_dir --seed=1
+  mkdir -p $train_dir/stores
+  for sub in tr cv; do
+    python -m rsrgan_tpu.cli.prepare make-store \
+      --inputs=$train_dir/$sub/inputs.scp \
+      --labels=$train_dir/$sub/labels.scp \
+      --cmvn_dir=$train_dir --output_dir=$train_dir/stores --name=$sub
+  done
+  echo "$train_dir/stores/tr.rtu" > $train_dir/tr.list
+  echo "$train_dir/stores/cv.rtu" > $train_dir/cv.list
+  python -m rsrgan_tpu.cli.prepare make-store --test \
+    --inputs=$train_dir/cv/inputs.scp --cmvn_dir=$train_dir \
+    --output_dir=$train_dir/stores --name=test
+  echo "$train_dir/stores/test.rtu" > $train_dir/test.list
+fi
+
+# Shared generator/data flags (flagship dims, LPS->LPS).
+common_flags="--g_type=res_lstm_l --data_dir=$train_dir
+  --tr_list_file=$train_dir/tr.list --cv_list_file=$train_dir/cv.list
+  --input_dim=257 --output_dim=257 --left_context=0 --right_context=0
+  --batch_size=8 --batch_norm=False --keep_prob=1.0 --l2_scale=0.0
+  --end_improve=0.001 --lstm_impl=wavefront"
+
+if [ "$stage" -le 4 ]; then
+  echo "== stage 4: train flagship LSGAN (warm-up + main) =="
+  set -- $gan_epochs
+  for cfg in "0.001 1 1" "0.0003 $1 $2"; do
+    set -- $cfg
+    sleep 15
+    python -m rsrgan_tpu.cli.train \
+      --trainer=gan_rnn $common_flags \
+      --save_dir=$gan_dir \
+      --g_learning_rate=0.00008 --d_learning_rate=$1 \
+      --disc_updates=1 --gen_updates=2 \
+      --init_mse_weight=10.0 --init_disc_noise_std=0.05 \
+      --min_epoches=$2 --max_epoches=$3
+  done
+fi
+
+if [ "$stage" -le 5 ]; then
+  echo "== stage 5: train MSE baseline (same G, run_rnn.sh schedule) =="
+  set -- $mse_epochs
+  sleep 15
+  python -m rsrgan_tpu.cli.train \
+    --trainer=rnn $common_flags \
+    --save_dir=$mse_dir \
+    --g_learning_rate=0.0003 \
+    --min_epoches=$1 --max_epoches=$2
+fi
+
+if [ "$stage" -le 6 ]; then
+  echo "== stage 6: decode the held-out set with both models =="
+  for cfg in "gan_rnn $gan_dir" "rnn $mse_dir"; do
+    set -- $cfg
+    sleep 15
+    python -m rsrgan_tpu.cli.train \
+      --decode --trainer=$1 --g_type=res_lstm_l \
+      --data_dir=$train_dir --test_list_file=$train_dir/test.list \
+      --save_dir=$2 \
+      --input_dim=257 --output_dim=257 --batch_size=1 \
+      --decode_batch_size=8 --lstm_impl=wavefront
+  done
+fi
+
+if [ "$stage" -le 7 ]; then
+  echo "== stage 7: resynthesize + score =="
+  awk 'NR==FNR {keep[$1]=1; next} ($1 in keep)' \
+    $train_dir/cv/inputs.scp $workdir/sim/rvb/wav.scp \
+    > $workdir/cv_noisy_wav.scp
+  awk 'NR==FNR {keep[$1]=1; next} ($1 in keep)' \
+    $train_dir/cv/inputs.scp $workdir/sim/clean/wav.scp \
+    > $workdir/cv_clean_wav.scp
+  for dir in $gan_dir $mse_dir; do
+    python -m rsrgan_tpu.cli.resynth \
+      --enhanced_scp=$dir/test/feats.scp \
+      --wav_scp=$workdir/cv_noisy_wav.scp \
+      --out_dir=$dir/test/wav
+  done
+  # feature-domain scores (LSD) per system
+  python -m rsrgan_tpu.cli.score --mode feats \
+    --est_scp=$train_dir/cv/inputs.scp --ref_scp=$train_dir/cv/labels.scp \
+    --per_utt=$workdir/feats_noisy.jsonl > /dev/null
+  python -m rsrgan_tpu.cli.score --mode feats \
+    --est_scp=$mse_dir/test/feats.scp --ref_scp=$train_dir/cv/labels.scp \
+    --per_utt=$workdir/feats_mse.jsonl > /dev/null
+  python -m rsrgan_tpu.cli.score --mode feats \
+    --est_scp=$gan_dir/test/feats.scp --ref_scp=$train_dir/cv/labels.scp \
+    --per_utt=$workdir/feats_gan.jsonl > /dev/null
+  # waveform-domain scores (SI-SNR, STOI, ESTOI) per system
+  python -m rsrgan_tpu.cli.score --mode wav \
+    --est_scp=$workdir/cv_noisy_wav.scp --ref_scp=$workdir/cv_clean_wav.scp \
+    --per_utt=$workdir/wav_noisy.jsonl > /dev/null
+  python -m rsrgan_tpu.cli.score --mode wav \
+    --est_scp=$mse_dir/test/wav/wav.scp --ref_scp=$workdir/cv_clean_wav.scp \
+    --per_utt=$workdir/wav_mse.jsonl > /dev/null
+  python -m rsrgan_tpu.cli.score --mode wav \
+    --est_scp=$gan_dir/test/wav/wav.scp --ref_scp=$workdir/cv_clean_wav.scp \
+    --per_utt=$workdir/wav_gan.jsonl > /dev/null
+fi
+
+echo "== stage 8: ablation table =="
+python tools/ablation_table.py "$workdir" \
+  --train_dir="$train_dir" --gan_dir="$gan_dir" --mse_dir="$mse_dir"

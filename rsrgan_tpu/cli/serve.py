@@ -222,6 +222,9 @@ def main(argv=None) -> int:
     if (args.test_list_file is None) == (args.wav_scp is None):
         p.error("exactly one of --test_list_file / --wav_scp is required")
 
+    from rsrgan_tpu.tunnel import ensure_device_up
+    ensure_device_up()  # defend against the axon handoff futex hang
+
     params = load_generator_params(args)
     if params is None:
         log("[!] Load failed. Checkpoint not found. Exit now.")

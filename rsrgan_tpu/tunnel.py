@@ -29,6 +29,20 @@ _ENV_FLAG = "RSRGAN_TUNNEL_RETRY"
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def apply_platform_override() -> None:
+    """``RSRGAN_PLATFORM=cpu`` pins the CLIs to a backend (debug / CI /
+    tunnel-outage runs without the chip). Plain ``JAX_PLATFORMS=cpu`` is
+    NOT enough on this machine — the axon plugin pins the env var — so
+    this goes through jax.config, which must happen before any device
+    query (tests/conftest.py is the same recipe)."""
+    plat = os.environ.get("RSRGAN_PLATFORM")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platform_name", plat)
+        jax.config.update("jax_platforms", plat)
+
+
 def ensure_device_up(timeout_s: float = 180.0,
                      cooldown_s: float = 30.0) -> None:
     """Prove the default backend is alive, or re-exec once, or exit 70.
@@ -36,6 +50,7 @@ def ensure_device_up(timeout_s: float = 180.0,
     Call from CLI ``main()`` before any side effects (checkpoint writes,
     output files): the re-exec restarts the whole process image.
     """
+    apply_platform_override()
     done = threading.Event()
 
     def watchdog() -> None:
