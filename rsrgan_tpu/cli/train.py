@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rsrgan_tpu.cli import str2bool
 from rsrgan_tpu.data import (ArkWriter, FrameBatcher,
                              HostShardedFrameBatches,
                              HostShardedSequenceBatches, SequenceBatcher,
@@ -780,9 +781,6 @@ def _decode_batched(args, test_store, infer, labels_cmvn, writer,
 
 
 # ---------------------------------------------------------------------------
-
-from rsrgan_tpu.cli import str2bool  # noqa: E402  (shared flag parser)
-
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="rsrgan_tpu.cli.train")
