@@ -50,6 +50,24 @@ def test_hang_reexecs_once_then_exits_70():
     assert "device up" not in r.stdout
 
 
+def test_platform_override_pins_cpu():
+    """RSRGAN_PLATFORM=cpu must pin the real jax backend to CPU through
+    jax.config (env vars alone are overridden by the axon plugin on this
+    host) — the chip-free recipe-validation path."""
+    script = textwrap.dedent(f'''
+        import sys
+        sys.path.insert(0, {REPO!r})
+        from rsrgan_tpu.tunnel import ensure_device_up
+        ensure_device_up(timeout_s=60)
+        import jax
+        assert jax.default_backend() == "cpu", jax.default_backend()
+        print("backend cpu ok", flush=True)
+    ''')
+    r = _run(script, env_extra={"RSRGAN_PLATFORM": "cpu"})
+    assert r.returncode == 0, (r.stdout, r.stderr)
+    assert "backend cpu ok" in r.stdout
+
+
 def test_healthy_probe_passes_through():
     script = HANG_SCRIPT.replace("time.sleep(999)", "return 1.0")
     r = _run(script)
