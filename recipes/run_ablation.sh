@@ -29,11 +29,12 @@ val_size=${3:-200}
 gan_epochs=${4:-"18 20"}    # min max for the main GAN run
 mse_epochs=${5:-"20 25"}    # min max for the MSE run
 stage=${stage:-0}
+stop_stage=${stop_stage:-8}   # run stages in [stage, stop_stage]
 train_dir=$workdir/data/train
 gan_dir=$workdir/exp/gan_res_lstm_l
 mse_dir=$workdir/exp/mse_res_lstm_l
 
-if [ "$stage" -le 0 ]; then
+if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
   rm -rf "$workdir" && mkdir -p "$train_dir"
   echo "== stage 0: synthesize clean speech + rooms/noises =="
   python - "$workdir" "$num_utts" <<'EOF'
@@ -45,7 +46,7 @@ make_sim_assets(sys.argv[1] + "/sim", num_utts=int(sys.argv[2]),
 EOF
 fi
 
-if [ "$stage" -le 1 ]; then
+if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
   echo "== stage 1: corrupt (reverb + noise) =="
   python -m rsrgan_tpu.cli.simulate \
     --wav_scp=$workdir/sim/clean/wav.scp \
@@ -57,7 +58,7 @@ if [ "$stage" -le 1 ]; then
   sleep 15   # full tunnel release before the next TPU client
 fi
 
-if [ "$stage" -le 2 ]; then
+if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
   echo "== stage 2: LPS features on both sides =="
   python -m rsrgan_tpu.cli.extract \
     --wav_scp=$workdir/sim/rvb/wav.scp --feat_type=spectrogram \
@@ -69,7 +70,7 @@ if [ "$stage" -le 2 ]; then
   sleep 15
 fi
 
-if [ "$stage" -le 3 ]; then
+if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   echo "== stage 3: cmvn + split + stores =="
   python -m rsrgan_tpu.cli.prepare cmvn \
     --inputs=$train_dir/inputs.cmvn --labels=$train_dir/labels.cmvn \
@@ -98,7 +99,7 @@ common_flags="--g_type=res_lstm_l --data_dir=$train_dir
   --batch_size=8 --batch_norm=False --keep_prob=1.0 --l2_scale=0.0
   --end_improve=0.001 --lstm_impl=wavefront"
 
-if [ "$stage" -le 4 ]; then
+if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "== stage 4: train flagship LSGAN (warm-up + main) =="
   set -- $gan_epochs
   for cfg in "0.001 1 1" "0.0003 $1 $2"; do
@@ -114,7 +115,7 @@ if [ "$stage" -le 4 ]; then
   done
 fi
 
-if [ "$stage" -le 5 ]; then
+if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   echo "== stage 5: train MSE baseline (same G, run_rnn.sh schedule) =="
   set -- $mse_epochs
   sleep 15
@@ -125,7 +126,7 @@ if [ "$stage" -le 5 ]; then
     --min_epoches=$1 --max_epoches=$2
 fi
 
-if [ "$stage" -le 6 ]; then
+if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   echo "== stage 6: decode the held-out set with both models =="
   for cfg in "gan_rnn $gan_dir" "rnn $mse_dir"; do
     set -- $cfg
@@ -139,7 +140,7 @@ if [ "$stage" -le 6 ]; then
   done
 fi
 
-if [ "$stage" -le 7 ]; then
+if [ "$stage" -le 7 ] && [ "$stop_stage" -ge 7 ]; then
   echo "== stage 7: resynthesize + score =="
   awk 'NR==FNR {keep[$1]=1; next} ($1 in keep)' \
     $train_dir/cv/inputs.scp $workdir/sim/rvb/wav.scp \
@@ -175,6 +176,7 @@ if [ "$stage" -le 7 ]; then
     --per_utt=$workdir/wav_gan.jsonl > /dev/null
 fi
 
+if [ "$stop_stage" -lt 8 ]; then echo "stopped at stop_stage=$stop_stage"; exit 0; fi
 echo "== stage 8: ablation table =="
 python tools/ablation_table.py "$workdir" \
   --train_dir="$train_dir" --gan_dir="$gan_dir" --mse_dir="$mse_dir"

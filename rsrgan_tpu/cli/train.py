@@ -43,8 +43,9 @@ from rsrgan_tpu.parallel import (initialize as init_distributed,
                                  shard_batch)
 from rsrgan_tpu.training import (GanTrainer, ImprovementTracker, MseTrainer,
                                  exponential_decay, load_checkpoint,
-                                 load_newest_state, save_checkpoint,
-                                 save_periodic_snapshot, staged_decay)
+                                 load_newest_state, read_checkpoint_meta,
+                                 save_checkpoint, save_periodic_snapshot,
+                                 staged_decay)
 
 GAN_METRICS = ("d_rl_loss", "d_fk_loss", "d_loss", "g_adv_loss",
                "g_mse_loss", "g_l2_loss", "g_loss")
@@ -638,10 +639,44 @@ def run_frame_training(args) -> int:
 # decode (enhancement)
 # ---------------------------------------------------------------------------
 
+def validate_checkpoint_compat(args, name: str) -> None:
+    """Fail legibly when the decode flags contradict the checkpoint's
+    .meta.json sidecar. A wrong --trainer otherwise dies inside flax
+    deserialization with an opaque "Missing field ... in state dict", and a
+    wrong --g_type (res_lstm_l vs res_lstm_base trees are shape-identical)
+    silently decodes garbage."""
+    meta = read_checkpoint_meta(args.save_dir, name)
+    if meta is None:
+        # a wrong --trainer looks for the wrong sidecar filename; fall back
+        # to whatever trainer's sidecar IS in the directory
+        import glob as _glob
+        others = sorted(_glob.glob(os.path.join(args.save_dir,
+                                                "*.meta.json")))
+        if not others:
+            return  # pre-sidecar checkpoint: nothing to validate against
+        with open(others[0]) as f:
+            meta = json.load(f)
+    mismatches = []
+    for key, got in [("trainer", args.trainer), ("g_type", args.g_type),
+                     ("input_dim", args.input_dim),
+                     ("output_dim", args.output_dim),
+                     ("left_context", args.left_context),
+                     ("right_context", args.right_context)]:
+        want = meta.get(key)
+        if want is not None and want != got:
+            mismatches.append(f"--{key}={got} vs trained {key}={want}")
+    if mismatches:
+        raise SystemExit(
+            f"checkpoint config mismatch in {args.save_dir}: "
+            + "; ".join(mismatches)
+            + " (from the checkpoint's .meta.json sidecar)")
+
+
 def run_decode(args) -> int:
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     trainer = build_trainer(args, compute_dtype)
     name = model_name(args)
+    validate_checkpoint_compat(args, name)
     sequence = args.trainer in ("gan_rnn", "rnn")
 
     test_store = UtteranceStore(read_list_file(args.test_list_file))

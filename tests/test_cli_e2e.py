@@ -525,3 +525,29 @@ def test_plot_cli(tmp_path):
     empty = str(tmp_path / "empty_exp")
     os.makedirs(empty)
     assert plot_cli.main([f"--save_dir={empty}"]) == 1
+
+
+def test_decode_rejects_mismatched_flags(tmp_path):
+    """--decode with a --trainer/--g_type that contradicts the checkpoint's
+    .meta.json sidecar exits with a legible message instead of an opaque
+    flax "Missing field" error (or, for shape-identical res_lstm trees,
+    silent garbage)."""
+    from rsrgan_tpu.training import save_checkpoint
+
+    save_dir = str(tmp_path / "exp")
+    save_checkpoint(save_dir, "RNNTrainer", {"p": np.zeros(1)}, 1,
+                    meta={"trainer": "rnn", "g_type": "res_lstm_l",
+                          "input_dim": 16, "output_dim": 6,
+                          "left_context": 0, "right_context": 0})
+    common = [f"--data_dir={tmp_path}", f"--test_list_file={tmp_path}/x",
+              f"--save_dir={save_dir}", "--input_dim=16", "--output_dim=6",
+              "--batch_size=1", "--bf16=false"]
+    # wrong --trainer: sidecar filename differs, found via the glob fallback
+    with pytest.raises(SystemExit, match="trainer=gan_rnn vs trained"):
+        train_cli.main(["--decode", "--trainer=gan_rnn",
+                        "--g_type=res_lstm_l"] + common)
+    # right trainer, wrong g_type (trees are shape-identical -> only the
+    # sidecar can catch this)
+    with pytest.raises(SystemExit, match="g_type=res_lstm_base vs trained"):
+        train_cli.main(["--decode", "--trainer=rnn",
+                        "--g_type=res_lstm_base"] + common)
