@@ -3,6 +3,8 @@ the device-time breakdown, parsed in-process with jax.profiler.ProfileData
 (no TensorBoard needed — this host's 1 CPU core makes the UI impractical).
 
 Usage: python tools/profile_step.py [B] [T]
+       python tools/profile_step.py --xplane PATH [STEPS]
+         (re-analyze a saved trace, no device run; STEPS defaults to 10)
 """
 
 import collections
@@ -16,6 +18,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--xplane":
+        report(sys.argv[2],
+               steps=int(sys.argv[3]) if len(sys.argv) > 3 else 10)
+        return
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     T = int(sys.argv[2]) if len(sys.argv) > 2 else 500
     STEPS = 10
@@ -65,7 +71,14 @@ def main() -> None:
     paths = sorted(glob.glob(outdir + "/**/*.xplane.pb", recursive=True),
                    key=os.path.getmtime)
     assert paths, f"no xplane.pb under {outdir}"
-    data = jax.profiler.ProfileData.from_file(paths[-1])
+    report(paths[-1], STEPS)
+
+
+def report(xplane_path: str, steps: int) -> None:
+    import jax
+
+    STEPS = steps
+    data = jax.profiler.ProfileData.from_file(xplane_path)
 
     for plane in data.planes:
         if "TPU" not in plane.name and "Device" not in plane.name:
@@ -93,6 +106,45 @@ def main() -> None:
                 n = calls[(ln, name)]
                 print(f"   {dur / 1e6:9.3f} ms  x{n:5d}  {name[:90]}")
         total += sum(ctr.values())
+
+        # category rollup over the op-level line (excluding the outer
+        # %while wrapper, which nests and double-counts everything):
+        # per-step ms by kind, to separate kernel time from glue
+        def categorize(name: str) -> str:
+            if "cell_" in name or "wavefront" in name or \
+                    "custom-call" in name:
+                return "pallas kernels"
+            if "transpose" in name:
+                return "transpose/layout (wgrad operands)"
+            if "convolution" in name:
+                return "XLA matmuls (dense/proj/wgrad)"
+            if name.startswith("%copy") or "bitcast" in name or \
+                    "dynamic-slice" in name or "dynamic-update" in name:
+                return "copies/slices"
+            if "reduce" in name:
+                return "reductions (loss/clip/EMA)"
+            if "jvp" in name:
+                return "model fused matmuls"
+            return "other elementwise/glue"
+
+        for ln, ctr in by_line.items():
+            # async copy-starts overlap compute; their durations are not
+            # additive step time, so only the synchronous op line rolls up
+            if "XLA Ops" not in ln or "Async" in ln:
+                continue
+            cats = collections.Counter()
+            for name, dur in ctr.items():
+                if name.startswith("%while"):
+                    continue
+                cats[categorize(name)] += dur
+            cat_total = sum(cats.values())
+            if not cat_total:
+                continue
+            print(f"-- per-step category rollup ({STEPS} steps, "
+                  f"{cat_total / 1e6 / STEPS:.2f} ms/step inside ops):")
+            for cat, dur in cats.most_common():
+                print(f"   {dur / 1e6 / STEPS:8.3f} ms/step "
+                      f"({100 * dur / cat_total:4.1f}%)  {cat}")
 
 
 if __name__ == "__main__":
