@@ -92,12 +92,15 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   echo "$train_dir/stores/test.rtu" > $train_dir/test.list
 fi
 
-# Shared generator/data flags (flagship dims, LPS->LPS).
+# Shared generator/data flags (flagship dims, LPS->LPS). LSTM_IMPL=scan
+# enables a chip-free fallback run (RSRGAN_PLATFORM=cpu): the pallas
+# wavefront stack needs the TPU, the scan cell runs anywhere.
+lstm_impl=${LSTM_IMPL:-wavefront}
 common_flags="--g_type=res_lstm_l --data_dir=$train_dir
   --tr_list_file=$train_dir/tr.list --cv_list_file=$train_dir/cv.list
   --input_dim=257 --output_dim=257 --left_context=0 --right_context=0
   --batch_size=8 --batch_norm=False --keep_prob=1.0 --l2_scale=0.0
-  --end_improve=0.001 --lstm_impl=wavefront"
+  --end_improve=0.001 --lstm_impl=$lstm_impl"
 
 if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "== stage 4: train flagship LSGAN (warm-up + main) =="
@@ -136,7 +139,7 @@ if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
       --data_dir=$train_dir --test_list_file=$train_dir/test.list \
       --save_dir=$2 \
       --input_dim=257 --output_dim=257 --batch_size=1 \
-      --decode_batch_size=8 --lstm_impl=wavefront
+      --decode_batch_size=8 --lstm_impl=$lstm_impl
   done
 fi
 
