@@ -1,0 +1,89 @@
+"""tools/ablation_table.py: summary table + quality-gate behavior.
+
+Stage 8 of recipes/run_ablation.sh runs after hours of training — these
+tests pin its jsonl contract (cli.score per-utt keys) and the gate logic
+so a scoring-summary bug can't surface only at the end of the long run.
+"""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = __file__.rsplit("/tests/", 1)[0]
+sys.path.insert(0, REPO + "/tools")
+
+import ablation_table  # noqa: E402
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _make_workdir(tmp_path, gan_lsd=7.0, gan_estoi=0.65):
+    """Synthetic per-utt dumps with the exact keys cli.score emits
+    (feats mode: lsd_db + mse; wav mode: snr/si_snr/seg_snr/stoi/estoi)."""
+    w = str(tmp_path)
+    rng = np.random.default_rng(0)
+    for sysname, lsd, mse in (("noisy", 20.0, 2.0), ("mse", 9.0, 0.4),
+                              ("gan", gan_lsd, 0.45)):
+        _write_jsonl(f"{w}/feats_{sysname}.jsonl",
+                     [{"utt_id": f"u{i}", "lsd_db": lsd + rng.normal(0, .1),
+                       "mse": mse} for i in range(10)])
+    for sysname, st in (("noisy", 0.47), ("mse", 0.60), ("gan", gan_estoi)):
+        _write_jsonl(f"{w}/wav_{sysname}.jsonl",
+                     [{"utt_id": f"u{i}", "snr_db": 5.0, "si_snr_db": 4.0,
+                       "seg_snr_db": 3.0, "stoi": st,
+                       "estoi": st - 0.05 + rng.normal(0, .01)}
+                      for i in range(10)])
+    return w
+
+
+def _args(w):
+    return [w, f"--train_dir={w}", f"--gan_dir={w}", f"--mse_dir={w}"]
+
+
+def test_table_and_gate_pass(tmp_path, capsys):
+    w = _make_workdir(tmp_path)
+    assert ablation_table.main(_args(w)) == 0
+    out = capsys.readouterr().out
+    assert "ABLATION QUALITY CHECK PASSED" in out
+    md = open(f"{w}/ablation.md").read()
+    assert "| no enhancement | 2.0000 | " in md
+    data = json.load(open(f"{w}/ablation.json"))
+    d = data["derived"]
+    assert d["gan_lsd_ratio"] < 0.45 and d["gan_estoi_delta"] > 0.03
+    # every table column resolved (no "—" placeholders)
+    assert "—" not in md.split("Derived")[0].split("|---|")[1]
+
+
+def test_gate_fails_on_weak_gan(tmp_path, capsys):
+    w = _make_workdir(tmp_path, gan_lsd=19.0, gan_estoi=0.48)
+    assert ablation_table.main(_args(w)) == 1
+    err = capsys.readouterr().err
+    assert "GAN LSD ratio" in err and "GAN ESTOI delta" in err
+
+
+def test_gate_thresholds_env_overridable(tmp_path, monkeypatch):
+    w = _make_workdir(tmp_path, gan_lsd=19.0, gan_estoi=0.48)
+    monkeypatch.setenv("ABLATION_MAX_LSD_RATIO", "1.5")
+    monkeypatch.setenv("ABLATION_MIN_ESTOI_DELTA", "-1.0")
+    assert ablation_table.main(_args(w)) == 0
+
+
+def test_missing_wav_scores_render_as_dash(tmp_path):
+    """feats-only dumps (e.g. resynth skipped) still produce a table and
+    the gate judges on what exists."""
+    w = _make_workdir(tmp_path)
+    import os
+    for s in ("noisy", "mse", "gan"):
+        os.remove(f"{w}/wav_{s}.jsonl")
+    rc = ablation_table.main(_args(w))
+    md = open(f"{w}/ablation.md").read()
+    assert "—" in md          # wav columns unresolved
+    assert "| no enhancement | 2.0000 |" in md
+    assert rc == 1            # ESTOI gate unsatisfiable without wav scores
