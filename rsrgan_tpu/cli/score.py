@@ -13,9 +13,11 @@ The reference evaluates only via an external Kaldi ASR decode (WER,
 
 wav mode: SNR, SI-SNR, segmental SNR (dB), STOI, ESTOI (utterances too
 short for the 384 ms STOI segments score NaN and are excluded from the
-summary means). feats mode: LSD (dB; slot 0 excluded under raw_energy)
-and feature MSE. Prints one line per utterance plus a JSON summary of
-means; optional --per_utt JSONL dump.
+summary means). feats mode: LSD (dB; slot 0 excluded under raw_energy),
+feature MSE, and the global-variance ratio (over-smoothing diagnostic;
+1.0 = matches the reference spectra's temporal dynamics). Prints one
+line per utterance plus a JSON summary of means; optional --per_utt
+JSONL dump.
 """
 
 from __future__ import annotations
@@ -28,7 +30,8 @@ import numpy as np
 
 from rsrgan_tpu.cli import str2bool
 from rsrgan_tpu.data.kaldi_ark import ScpReader
-from rsrgan_tpu.eval import feature_mse, lsd_from_lps, seg_snr, si_snr, snr
+from rsrgan_tpu.eval import (feature_mse, lsd_from_lps, seg_snr, si_snr,
+                             snr, variance_ratio)
 from rsrgan_tpu.eval.stoi import stoi_both
 from rsrgan_tpu.sim.wavio import read_wav
 
@@ -93,7 +96,9 @@ def main(argv=None) -> int:
             rows.append({"utt_id": utt_id,
                          "lsd_db": lsd_from_lps(
                              e, r, skip_first_bin=args.raw_energy),
-                         "mse": feature_mse(e, r)})
+                         "mse": feature_mse(e, r),
+                         "gv_ratio": variance_ratio(
+                             e, r, skip_first_bin=args.raw_energy)})
 
     if not rows:
         print("No scored utterances", file=sys.stderr)

@@ -90,6 +90,34 @@ def lsd_from_lps(lps_est: np.ndarray, lps_ref: np.ndarray,
     return float(np.mean(np.sqrt(np.mean(db ** 2, axis=1))))
 
 
+def variance_ratio(est: np.ndarray, ref: np.ndarray,
+                   skip_first_bin: bool = True) -> float:
+    """Global-variance ratio: mean over bins of std_t(est)/std_t(ref).
+
+    The classic over-smoothing diagnostic for regression-trained
+    spectral mappers: minimizing MSE drives the estimate toward the
+    conditional mean, which has LESS temporal variance per bin than
+    real clean speech (ratio < 1); adversarial objectives are motivated
+    precisely by restoring that natural variance (the reference's LSGAN
+    objective, /root/reference/models/gan_rnn_placeholder.py:244-260,
+    exists to sharpen the over-smoothed MSE solution). 1.0 = matches
+    the clean spectra's dynamics; the metric is orthogonal to LSD/MSE,
+    which reward the over-smoothed solution.
+
+    ``skip_first_bin`` excludes slot 0 (raw frame energy under the
+    extraction default), matching ``lsd_from_lps``.
+    """
+    a = np.asarray(est, np.float64)
+    b = np.asarray(ref, np.float64)
+    t = min(a.shape[0], b.shape[0])
+    a, b = a[:t], b[:t]
+    if a.shape != b.shape:
+        raise ValueError(f"feature shapes differ: {a.shape} vs {b.shape}")
+    if skip_first_bin:
+        a, b = a[:, 1:], b[:, 1:]
+    return float(np.mean(a.std(axis=0) / (b.std(axis=0) + _EPS)))
+
+
 def feature_mse(est: np.ndarray, ref: np.ndarray) -> float:
     """Mean squared error over aligned feature frames (any feature kind)."""
     a = np.asarray(est, np.float64)

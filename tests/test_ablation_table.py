@@ -26,14 +26,16 @@ def _write_jsonl(path, rows):
 
 def _make_workdir(tmp_path, gan_lsd=7.0, gan_estoi=0.65):
     """Synthetic per-utt dumps with the exact keys cli.score emits
-    (feats mode: lsd_db + mse; wav mode: snr/si_snr/seg_snr/stoi/estoi)."""
+    (feats mode: lsd_db + mse + gv_ratio; wav mode:
+    snr/si_snr/seg_snr/stoi/estoi)."""
     w = str(tmp_path)
     rng = np.random.default_rng(0)
-    for sysname, lsd, mse in (("noisy", 20.0, 2.0), ("mse", 9.0, 0.4),
-                              ("gan", gan_lsd, 0.45)):
+    for sysname, lsd, mse, gv in (("noisy", 20.0, 2.0, 1.10),
+                                  ("mse", 9.0, 0.4, 0.62),
+                                  ("gan", gan_lsd, 0.45, 0.91)):
         _write_jsonl(f"{w}/feats_{sysname}.jsonl",
                      [{"utt_id": f"u{i}", "lsd_db": lsd + rng.normal(0, .1),
-                       "mse": mse} for i in range(10)])
+                       "mse": mse, "gv_ratio": gv} for i in range(10)])
     for sysname, st in (("noisy", 0.47), ("mse", 0.60), ("gan", gan_estoi)):
         _write_jsonl(f"{w}/wav_{sysname}.jsonl",
                      [{"utt_id": f"u{i}", "snr_db": 5.0, "si_snr_db": 4.0,
@@ -57,6 +59,9 @@ def test_table_and_gate_pass(tmp_path, capsys):
     data = json.load(open(f"{w}/ablation.json"))
     d = data["derived"]
     assert d["gan_lsd_ratio"] < 0.45 and d["gan_estoi_delta"] > 0.03
+    # over-smoothing gaps: |1 - GV| per system (gan 0.91, mse 0.62)
+    assert d["gan_gv_gap"] == pytest.approx(0.09, abs=1e-6)
+    assert d["mse_gv_gap"] == pytest.approx(0.38, abs=1e-6)
     # every table column resolved (no "—" placeholders)
     assert "—" not in md.split("Derived")[0].split("|---|")[1]
 

@@ -8,7 +8,7 @@ import pytest
 
 from rsrgan_tpu.data.kaldi_ark import ArkWriter
 from rsrgan_tpu.eval import (estoi, feature_mse, lsd_from_lps, seg_snr,
-                             si_snr, snr, stoi)
+                             si_snr, snr, stoi, variance_ratio)
 from rsrgan_tpu.features import (FrameOptions, SpectrogramOptions,
                                  compute_spectrogram_np)
 from rsrgan_tpu.features.resynth import (complex_spectrum, deemphasize,
@@ -147,6 +147,25 @@ class TestMetrics:
         a = np.ones((10, 4))
         b = np.zeros((12, 4))
         assert feature_mse(a, b) == 1.0
+
+    def test_variance_ratio(self):
+        rng = np.random.default_rng(12)
+        ref = rng.normal(size=(400, 257))
+        # identity matches the clean dynamics exactly
+        assert variance_ratio(ref, ref) == pytest.approx(1.0, rel=1e-9)
+        # a half-amplitude (over-smoothed) estimate has half the
+        # per-bin temporal std -> ratio 0.5, regardless of mean offset
+        assert variance_ratio(0.5 * ref + 3.0, ref) == pytest.approx(
+            0.5, rel=1e-9)
+        # slot 0 is excluded by default (raw-energy convention):
+        # corrupting only column 0 changes nothing unless opted in
+        est = ref.copy()
+        est[:, 0] = 0.0
+        assert variance_ratio(est, ref) == pytest.approx(1.0, rel=1e-9)
+        assert variance_ratio(est, ref, skip_first_bin=False) < 1.0
+        # length alignment mirrors feature_mse
+        assert variance_ratio(ref[:300], ref) == pytest.approx(1.0,
+                                                               abs=0.05)
 
 
 class TestStoi:

@@ -55,6 +55,7 @@ def main(argv=None) -> int:
 
     cols = [("feature-MSE", "mse", "{:.4f}"),
             ("LSD (dB)", "lsd_db", "{:.3f}"),
+            ("GV ratio", "gv_ratio", "{:.4f}"),
             ("SI-SNR (dB)", "si_snr_db", "{:.2f}"),
             ("STOI", "stoi", "{:.4f}"),
             ("ESTOI", "estoi", "{:.4f}")]
@@ -77,6 +78,12 @@ def main(argv=None) -> int:
         derived["gan_estoi_delta"] = round(gan["estoi"] - noisy["estoi"], 4)
         derived["mse_estoi_delta"] = round(mse["estoi"] - noisy["estoi"], 4)
         derived["gan_vs_mse_estoi"] = round(gan["estoi"] - mse["estoi"], 4)
+    if gan.get("gv_ratio") is not None and mse.get("gv_ratio") is not None:
+        # over-smoothing: |1 - GV| measures distance from the clean
+        # spectra's temporal dynamics (MSE regression under-shoots it;
+        # the adversarial term exists to restore it)
+        derived["gan_gv_gap"] = round(abs(1.0 - gan["gv_ratio"]), 4)
+        derived["mse_gv_gap"] = round(abs(1.0 - mse["gv_ratio"]), 4)
 
     md = (f"# Ablation: {LABELS['gan']} vs {LABELS['mse']} vs baseline\n\n"
           f"Held-out set: {noisy.get('num_utts', 0)} utterances, "
