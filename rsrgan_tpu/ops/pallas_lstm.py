@@ -225,8 +225,11 @@ def _bwd_kernel(R, acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
             c_prev = c_ref[r - 1]
         else:
             # sequence position 0 lives in the last-visited block (b ==
-            # TB-1); its c_prev is the zero initial state
-            c_prev = jnp.where(b == TB - 1, 0.0, cprev_ref[R - 1])
+            # TB-1); its c_prev is the zero initial state. cprev is a
+            # single-row block (the row just before this block) — loading
+            # a full R-row predecessor block was 4x wasted HBM traffic
+            # for the one row actually read.
+            c_prev = jnp.where(b == TB - 1, 0.0, cprev_ref[0])
         c_new = c_ref[r]          # post-mask == true c at valid steps
         keep = mask_ref[r, 0][:, None] > 0
 
@@ -300,9 +303,11 @@ def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
     off = block_offset
     rev3 = lambda b: (TB - 1 - b, 0, 0)
     skew3 = lambda b: (off + TB - 1 - b, 0, 0)
-    # previous block of history: block index max(TB-2-b, 0); the first
-    # sequence position's zero state is handled in-kernel.
-    prev3 = lambda b: (jnp.maximum(off + TB - 2 - b, off), 0, 0)
+    # previous-row history: a SINGLE-ROW block holding the row just
+    # before this block's first row (only one prev row is ever read; the
+    # first sequence position's zero state is handled in-kernel).
+    prev_row3 = lambda b: (jnp.maximum((off + TB - 1 - b) * R - 1, 0),
+                           0, 0)
     const2 = lambda b: (0, 0)
     grid_spec = pl.GridSpec(
         grid=(TB,),
@@ -311,7 +316,7 @@ def _bwd_pallas(T, B, Up, P, acts, mask, dout, c_hist, w_h, proj,
             pl.BlockSpec((R, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # dout
             pl.BlockSpec((R, B, Up), skew3, memory_space=pltpu.VMEM),  # c_t
-            pl.BlockSpec((R, B, Up), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, Up), prev_row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),
@@ -394,8 +399,10 @@ def _bwd_kernel_acc(R, acts_ref, mask_ref, dout_ref, c_ref, cprev_ref,
             h_prev = h_ref[r - 1]
         else:
             first = b == TB - 1   # sequence position 0: zero initial state
-            c_prev = jnp.where(first, 0.0, cprev_ref[R - 1])
-            h_prev = jnp.where(first, 0.0, hprev_ref[R - 1])
+            # cprev/hprev are single-row blocks (see prev_row3): only one
+            # predecessor row is ever read per grid step
+            c_prev = jnp.where(first, 0.0, cprev_ref[0])
+            h_prev = jnp.where(first, 0.0, hprev_ref[0])
         c_new = c_ref[r]          # post-mask == true c at valid steps
         keep = mask_ref[r, 0][:, None] > 0
 
@@ -458,7 +465,10 @@ def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
     off = block_offset
     rev3 = lambda b: (TB - 1 - b, 0, 0)
     skew3 = lambda b: (off + TB - 1 - b, 0, 0)
-    prev3 = lambda b: (jnp.maximum(off + TB - 2 - b, off), 0, 0)
+    # single-row predecessor blocks (only one prev row is read per grid
+    # step — full R-row predecessor blocks were 4x wasted HBM traffic)
+    prev_row3 = lambda b: (jnp.maximum((off + TB - 1 - b) * R - 1, 0),
+                           0, 0)
     const2 = lambda b: (0, 0)
     grid_spec = pl.GridSpec(
         grid=(TB,),
@@ -467,9 +477,9 @@ def _bwd_pallas_acc(T, B, Up, P, acts, mask, dout, c_hist, h_hist, w_h,
             pl.BlockSpec((R, 1, B), rev3, memory_space=pltpu.VMEM),   # mask
             pl.BlockSpec((R, B, P), rev3, memory_space=pltpu.VMEM),   # dout
             pl.BlockSpec((R, B, Up), skew3, memory_space=pltpu.VMEM),  # c_t
-            pl.BlockSpec((R, B, Up), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, Up), prev_row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((R, B, P), skew3, memory_space=pltpu.VMEM),  # h_t
-            pl.BlockSpec((R, B, P), prev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, P), prev_row3, memory_space=pltpu.VMEM),
             pl.BlockSpec((P, G), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((Up, P), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Up), const2, memory_space=pltpu.VMEM),

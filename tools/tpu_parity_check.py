@@ -53,9 +53,7 @@ def main() -> None:
     from rsrgan_tpu.models.recurrent import ResLstmGenerator
 
     rng = np.random.default_rng(0)
-    B, T = 4, 64   # T divisible by 4 -> coarsened (R=4) grids
-    x = jnp.asarray(rng.normal(size=(B, T, 257)), jnp.float32)
-    lens = jnp.asarray([T, T - 9, 30, 5], jnp.int32)  # ends mid-block
+    T = 64   # divisible by 4 -> coarsened (R=4) grids
 
     def check(name, a, b, atol):
         a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
@@ -67,31 +65,55 @@ def main() -> None:
         return ok
 
     ok = True
-    # Generator: scan vs wavefront, f32 compute (near-exact contract)
-    gens = {impl: ResLstmGenerator(output_dim=40, variant="l",
-                                   lstm_impl=impl)
-            for impl in ("scan", "pallas", "wavefront")}
-    params = gens["scan"].init(jax.random.PRNGKey(0), x, lens)
+    # Generator: scan vs wavefront, f32 compute (near-exact contract).
+    # Two batch sizes exercise BOTH backward variants compiled:
+    # B=4 -> streamed weight grads, B=32 -> in-kernel accumulator
+    # (_ACC_BWD_MIN_BATCH).
+    for B in (4, 32):
+        x = jnp.asarray(rng.normal(size=(B, T, 257)), jnp.float32)
+        lens = jnp.asarray(([T, T - 9, 30, 5] * B)[:B], jnp.int32)
 
-    def loss(gen):
+        gens = {impl: ResLstmGenerator(output_dim=40, variant="l",
+                                       lstm_impl=impl)
+                for impl in ("scan", "pallas", "wavefront")}
+        params = gens["scan"].init(jax.random.PRNGKey(0), x, lens)
+
+        def loss(gen, lens=lens):
+            return jax.jit(lambda p, xx: jnp.sum(
+                jnp.sin(gen.apply(p, xx, lens, True))))
+
+        o = {impl: jax.jit(lambda p, xx, g=g, lens=lens:
+                           g.apply(p, xx, lens, True))(params, x)
+             for impl, g in gens.items()}
+        g_ = {impl: jax.grad(loss(g))(params, x)
+              for impl, g in gens.items()}
+        for impl in ("pallas", "wavefront"):
+            ok &= check(f"G fwd {impl} vs scan (f32, B={B})",
+                        o[impl], o["scan"], 1e-5)
+            for (pa, pb) in zip(jax.tree.leaves(g_[impl]),
+                                jax.tree.leaves(g_["scan"])):
+                ok &= check(f"G grad {impl} vs scan (f32, B={B})",
+                            pa, pb, 5e-4)
+                break  # first leaf representative; full check below
+            flat_a = np.concatenate([np.asarray(l).ravel()
+                                     for l in jax.tree.leaves(g_[impl])])
+            flat_b = np.concatenate([np.asarray(l).ravel()
+                                     for l in jax.tree.leaves(g_["scan"])])
+            ok &= check(f"G all-grads {impl} vs scan (B={B})",
+                        flat_a, flat_b, 5e-4)
+    B = 4
+    x = jnp.asarray(rng.normal(size=(B, T, 257)), jnp.float32)
+    lens = jnp.asarray([T, T - 9, 30, 5], jnp.int32)  # ends mid-block
+    params = ResLstmGenerator(output_dim=40, variant="l",
+                              lstm_impl="scan").init(
+        jax.random.PRNGKey(0), x, lens)
+
+    def loss(gen, lens=lens):
         return jax.jit(lambda p, xx: jnp.sum(
             jnp.sin(gen.apply(p, xx, lens, True))))
 
-    o = {impl: jax.jit(lambda p, xx, g=g: g.apply(p, xx, lens, True))(
-        params, x) for impl, g in gens.items()}
-    g_ = {impl: jax.grad(loss(g))(params, x) for impl, g in gens.items()}
-    for impl in ("pallas", "wavefront"):
-        ok &= check(f"G fwd {impl} vs scan (f32)", o[impl], o["scan"], 1e-5)
-        for (pa, pb) in zip(jax.tree.leaves(g_[impl]),
-                            jax.tree.leaves(g_["scan"])):
-            ok &= check(f"G grad {impl} vs scan (f32)", pa, pb, 5e-4)
-            break  # first leaf is representative; full check in pytest
-        flat_a = np.concatenate([np.asarray(l).ravel()
-                                 for l in jax.tree.leaves(g_[impl])])
-        flat_b = np.concatenate([np.asarray(l).ravel()
-                                 for l in jax.tree.leaves(g_["scan"])])
-        ok &= check(f"G all-grads {impl} vs scan (f32)", flat_a, flat_b,
-                    5e-4)
+    g_scan = jax.grad(loss(ResLstmGenerator(output_dim=40, variant="l",
+                                            lstm_impl="scan")))(params, x)
 
     # Discriminator stack (plain MultiRNNCell wiring), f32
     y = jnp.asarray(rng.normal(size=(B, T, 40)), jnp.float32)
@@ -110,7 +132,7 @@ def main() -> None:
     flat_a = np.concatenate([np.asarray(l, np.float64).ravel()
                              for l in jax.tree.leaves(g_bf)])
     flat_b = np.concatenate([np.asarray(l, np.float64).ravel()
-                             for l in jax.tree.leaves(g_["scan"])])
+                             for l in jax.tree.leaves(g_scan)])
     scale = max(np.abs(flat_b).max(), 1e-3)
     err = np.abs(flat_a - flat_b).max()
     bf_ok = err <= 0.05 * scale
