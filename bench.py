@@ -48,6 +48,67 @@ def _arm_tunnel_watchdog() -> None:
     signal.alarm(180)
 
 
+def _train_loop_bench() -> dict:
+    """Real-loop throughput measured through cli/train itself (round-3
+    VERDICT #1): the number a user's training run experiences, not a
+    synthetic fused loop. Synthetic single-bucket corpus (384 tr utts,
+    T in [455,500) -> bucket edge 500), flagship gan_rnn config at B=16,
+    2 iterations; reports iteration 2 (steady state: the device-resident
+    tables are already up, compiles cached)."""
+    import contextlib
+    import shutil
+    import tempfile
+
+    from rsrgan_tpu.data.store import StoreWriter
+
+    corpus = "/tmp/rsrgan_bench_loop"
+    tr_list = os.path.join(corpus, "tr.list")
+    if not os.path.isfile(tr_list):
+        os.makedirs(corpus, exist_ok=True)
+        rng = np.random.default_rng(11)
+        for name, n in (("tr", 384), ("cv", 48)):
+            path = os.path.join(corpus, f"{name}.rtu")
+            with StoreWriter(path) as w:
+                for i in range(n):
+                    t = int(rng.integers(455, 500))
+                    x = rng.normal(size=(t, 257)).astype(np.float32)
+                    y = rng.normal(size=(t, 40)).astype(np.float32)
+                    w.add(f"{name}{i:04d}", x, y)
+            with open(os.path.join(corpus, f"{name}.list"), "w") as f:
+                f.write(path + "\n")
+
+    from rsrgan_tpu.cli import train as train_cli
+    save_dir = tempfile.mkdtemp(prefix="rsrgan_bench_loop_")
+    log_path = os.path.join(corpus, "train.log")
+    try:
+        with open(log_path, "w") as logf, \
+                contextlib.redirect_stdout(logf):
+            rc = train_cli.main([
+                "--trainer=gan_rnn", "--g_type=res_lstm_l",
+                f"--tr_list_file={tr_list}",
+                f"--cv_list_file={os.path.join(corpus, 'cv.list')}",
+                f"--save_dir={save_dir}",
+                "--input_dim=257", "--output_dim=40", "--batch_size=16",
+                "--g_learning_rate=8e-5", "--d_learning_rate=1e-3",
+                "--disc_updates=1", "--gen_updates=2",
+                "--init_mse_weight=10.0", "--init_disc_noise_std=0.05",
+                "--min_epoches=1", "--max_epoches=2", "--end_improve=-1",
+                "--tensorboard=false"])
+        if rc != 0:
+            raise RuntimeError(f"cli/train exited {rc} (log: {log_path})")
+        with open(os.path.join(save_dir, "metrics_train.jsonl")) as f:
+            rows = [json.loads(line) for line in f]
+        fps = float(rows[-1]["train_frames_per_sec"])
+    finally:
+        shutil.rmtree(save_dir, ignore_errors=True)
+    return {
+        "train_loop_frames_per_sec": round(fps, 1),
+        "train_loop_note": "true frames/s through cli/train itself "
+                           "(device-resident feed, flagship gan_rnn, "
+                           "B=16, iteration 2 of 2)",
+    }
+
+
 def main() -> None:
     _arm_tunnel_watchdog()
     import jax
@@ -206,6 +267,16 @@ def main() -> None:
     dec_true = float(np.sum(np.asarray(l_dec)))
     out["decode_frames_per_sec"] = round(dec_true / min(dec_reps), 1)
     out["decode_batch"] = B_DEC
+
+    # the loop a user experiences, via the actual CLI (never crash the
+    # driver-facing JSON over it)
+    try:
+        out.update(_train_loop_bench())
+        out["train_loop_vs_step"] = round(
+            out["train_loop_frames_per_sec"] / out["true_frames_per_sec"],
+            3)
+    except Exception as e:  # noqa: BLE001 - report, don't lose the bench
+        out["train_loop_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
 
 

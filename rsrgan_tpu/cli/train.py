@@ -248,6 +248,57 @@ def _avg(accum: list) -> dict:
     return {k: float(np.mean([float(m[k]) for m in accum])) for k in keys}
 
 
+def _avg_weighted(accum: list) -> dict:
+    """Weighted mean of (metrics_dict, batch_count) pairs with ONE packed
+    device readback: per-scalar float() syncs cost ~30 ms each through the
+    axon tunnel, which at hundreds of batches/iteration would rival the
+    compute itself."""
+    keys = list(accum[0][0].keys())
+    mat = jnp.stack([jnp.stack([jnp.asarray(m[k], jnp.float32)
+                                for k in keys]) for m, _ in accum])
+    vals = np.asarray(jax.device_get(mat))
+    weights = np.array([n for _, n in accum], np.float64)
+    return {k: float(np.average(vals[:, i], weights=weights))
+            for i, k in enumerate(keys)}
+
+
+def decide_device_feed(args, tr_store, cv_store, mesh, pcount):
+    """Resolve --device_feed/--device_feed_dtype to a table dtype or None.
+
+    The gathered path covers the single-process, single-device sequence
+    trainers (the flagship config); meshes/multi-host and the graph-fed
+    GAN variant keep the host feed.
+    """
+    from rsrgan_tpu.data.device_feed import table_bytes
+    if args.device_feed == "off":
+        return None
+    eligible = (args.trainer in ("gan_rnn", "rnn") and mesh is None
+                and pcount == 1
+                and (args.trainer != "gan_rnn" or args.same_batch))
+    if not eligible:
+        if args.device_feed == "on":
+            log("NOTE: --device_feed=on ignored (mesh/multi-host/graph-fed "
+                "runs use the host feed)")
+        return None
+    if args.device_feed == "auto" and jax.default_backend() != "tpu":
+        return None  # host feed is not the bottleneck off-tunnel
+    budget = float(os.environ.get("RSRGAN_FEED_HBM_BUDGET", 9e9))
+    f32_bytes = table_bytes(tr_store, 4) + table_bytes(cv_store, 4)
+    if args.device_feed_dtype == "float32":
+        return jnp.float32
+    if args.device_feed_dtype == "bfloat16":
+        return jnp.bfloat16
+    if f32_bytes <= budget:
+        return jnp.float32
+    if f32_bytes / 2 <= budget:
+        log(f"[*] device feed: f32 tables ({f32_bytes / 1e9:.1f} GB) exceed "
+            f"the HBM budget ({budget / 1e9:.1f} GB); using bfloat16 tables")
+        return jnp.bfloat16
+    log(f"[*] device feed disabled: tables ({f32_bytes / 1e9:.1f} GB f32) "
+        f"exceed the HBM budget even in bfloat16")
+    return None
+
+
 def show_all_variables(state) -> None:
     """Parameter-count summary (utils/misc.py:37-40 parity)."""
     def count(tree):
@@ -355,11 +406,23 @@ def run_sequence_training(args) -> int:
 
     steps_per_call = max(1, args.steps_per_call)
 
+    feed_dtype = decide_device_feed(args, tr_store, cv_store, mesh, pcount)
+    feed_tr = feed_cv = None
+    if feed_dtype is not None:
+        from rsrgan_tpu.data.device_feed import DeviceFeed
+        t0 = time.monotonic()
+        feed_tr = DeviceFeed(tr_store, dtype=feed_dtype)
+        feed_cv = DeviceFeed(cv_store, dtype=feed_dtype)
+        log(f"[*] device feed: {(feed_tr.num_bytes + feed_cv.num_bytes) / 1e9:.2f} GB "
+            f"resident ({jnp.dtype(feed_dtype).name} tables) uploaded in "
+            f"{time.monotonic() - t0:.1f} s")
+
     for iteration in range(max_iters):
         if iteration == 1:
             profiler.start()   # capture the steady-state second iteration
         start = datetime.datetime.now()
-        tr_accum, cv_accum = [], []
+        tr_accum, cv_accum = [], []  # (metrics dict, batch count) pairs
+        true_frames = 0
 
         # Group same-bucket batches and run them as one jitted multi-step
         # scan — amortizes per-dispatch host latency (axon tunnel ~20 ms).
@@ -386,7 +449,7 @@ def run_sequence_training(args) -> int:
                     else:
                         state, m = trainer.train_step(state, *arrays,
                                                       hp["g_lr"], sub)
-                    tr_accum.append(m)
+                    tr_accum.append((m, 1))
                     snapper.maybe(state)
                 return
             step_rng, sub = jax.random.split(step_rng)
@@ -399,17 +462,53 @@ def run_sequence_training(args) -> int:
             else:
                 state, m = trainer.train_multi_step(state, *arrays,
                                                     hp["g_lr"], sub)
-            tr_accum.extend([m] * len(batches))
+            tr_accum.append((m, len(batches)))
             snapper.maybe(state)
 
-        if is_gan and not args.same_batch:
+        def run_gathered(t_pad, plans):
+            """Dispatch a group of same-shape batch PLANS; features are
+            assembled on device from the resident tables."""
+            nonlocal state, step_rng
+            step_rng, sub = jax.random.split(step_rng)
+            starts = jnp.asarray(np.stack([p[0] for p in plans]))
+            lens = jnp.asarray(np.stack([p[1] for p in plans]))
+            lr_or_hp = hp if is_gan else hp["g_lr"]
+            state, m = trainer.train_multi_step_gathered(
+                state, feed_tr.inputs_tbl, feed_tr.labels_tbl, starts,
+                lens, lr_or_hp, sub, t_pad, args.left_context,
+                args.right_context)
+            tr_accum.append((m, len(plans)))
+            snapper.maybe(state)
+
+        def plan_shape(batcher, lengths):
+            from rsrgan_tpu.data.dataset import bucket_id, padded_length
+            mx = int(lengths.max())
+            b = bucket_id(mx, batcher.num_buckets)
+            return padded_length(b, mx, batcher.num_buckets)
+
+        if feed_tr is not None:
+            pending = {}
+            for indices in tr_batches.iter_index_batches():
+                st, le = feed_tr.plan(indices)
+                true_frames += int(le.sum())
+                t_pad = plan_shape(tr_batches, le)
+                key = (t_pad, len(indices))
+                pending.setdefault(key, []).append((st, le))
+                if len(pending[key]) == steps_per_call:
+                    run_gathered(t_pad, pending.pop(key))
+            for (t_pad, _), plans in pending.items():
+                for p in plans:  # leftovers: S=1 calls, no per-size compiles
+                    run_gathered(t_pad, [p])
+        elif is_gan and not args.same_batch:
             # graph-fed variant: D and G consume different minibatches
             # (models/gan_rnn.py:66-95, scripts/train_gan_rnn.py:21-80)
             d_accum, g_accum = [], []
             stream = iter(ThreadedPrefetcher(iter(tr_batches), 32))
 
             def next_arrays():
+                nonlocal true_frames
                 b = next(stream)
+                true_frames += int(b.lengths.sum())
                 return place((b.inputs, b.labels, b.lengths))
 
             try:
@@ -428,41 +527,86 @@ def run_sequence_training(args) -> int:
             except StopIteration:
                 pass
             if d_accum and g_accum:
-                tr_accum.append({**_avg(d_accum), **_avg(g_accum)})
+                tr_accum.append(({**_avg(d_accum), **_avg(g_accum)}, 1))
         else:
             for batch in ThreadedPrefetcher(iter(tr_batches), 32):
+                true_frames += int(batch.lengths.sum())
                 key = batch.inputs.shape
                 pending.setdefault(key, []).append(batch)
                 if len(pending[key]) == steps_per_call:
                     run_group(pending.pop(key))
             for group in pending.values():
                 run_group(group)
-        for batch in ThreadedPrefetcher(iter(cv_batches), 32):
-            arrays = place((batch.inputs, batch.labels, batch.lengths))
-            step_rng, sub = jax.random.split(step_rng)
-            if is_gan:
-                metrics = trainer.eval_step(state, *arrays, hp, sub)
-            else:
-                metrics = trainer.eval_step(state, *arrays)
-            cv_accum.append(metrics)
-        if not tr_accum or not cv_accum:
-            log("ERROR: empty train or cv batch stream")
+        if not tr_accum:
+            log("ERROR: empty train batch stream")
             return 1
-        tr_m, cv_m = _avg(tr_accum), _avg(cv_accum)
+        # _avg_weighted syncs on the packed metrics, so train_secs measures
+        # the completed train section (dispatches are async until here)
+        tr_m = _avg_weighted(tr_accum)
+        train_secs = (datetime.datetime.now() - start).total_seconds()
+
+        if feed_cv is not None:
+            pending = {}
+
+            def run_eval(t_pad, plans):
+                nonlocal step_rng
+                starts = jnp.asarray(np.stack([p[0] for p in plans]))
+                lens = jnp.asarray(np.stack([p[1] for p in plans]))
+                if is_gan:
+                    step_rng, sub = jax.random.split(step_rng)
+                    m = trainer.eval_multi_step_gathered(
+                        state, feed_cv.inputs_tbl, feed_cv.labels_tbl,
+                        starts, lens, hp, sub, t_pad, args.left_context,
+                        args.right_context)
+                else:
+                    m = trainer.eval_multi_step_gathered(
+                        state, feed_cv.inputs_tbl, feed_cv.labels_tbl,
+                        starts, lens, t_pad, args.left_context,
+                        args.right_context)
+                cv_accum.append((m, len(plans)))
+
+            for indices in cv_batches.iter_index_batches():
+                st, le = feed_cv.plan(indices)
+                t_pad = plan_shape(cv_batches, le)
+                key = (t_pad, len(indices))
+                pending.setdefault(key, []).append((st, le))
+                if len(pending[key]) == steps_per_call:
+                    run_eval(t_pad, pending.pop(key))
+            for (t_pad, _), plans in pending.items():
+                for p in plans:
+                    run_eval(t_pad, [p])
+        else:
+            for batch in ThreadedPrefetcher(iter(cv_batches), 32):
+                arrays = place((batch.inputs, batch.labels, batch.lengths))
+                step_rng, sub = jax.random.split(step_rng)
+                if is_gan:
+                    metrics = trainer.eval_step(state, *arrays, hp, sub)
+                else:
+                    metrics = trainer.eval_step(state, *arrays)
+                cv_accum.append((metrics, 1))
+        if not cv_accum:
+            log("ERROR: empty cv batch stream")
+            return 1
+        cv_m = _avg_weighted(cv_accum)
         if not all(np.isfinite(v) for v in tr_m.values()):
             log(f"FATAL: non-finite training loss at iteration "
                 f"{iteration + 1}: {tr_m} — stopping (last accepted "
                 f"checkpoint is preserved).")
             return 2
         took = (datetime.datetime.now() - start).total_seconds()
+        fps = true_frames / max(train_secs, 1e-9)
         log(f"{iteration + 1}/{max_iters} (INFO): d_learning_rate = "
             f"{float(hp['d_lr']):.5e}, g_learning_rate = "
             f"{float(hp['g_lr']):.5e}, time = {took / 3600.0:.3f} h\n"
+            f"{iteration + 1}/{max_iters} (SPEED): train_frames_per_sec = "
+            f"{fps:.0f} (true frames through the cli/train loop, "
+            f"{train_secs:.1f} s train section)\n"
             f"{iteration + 1}/{max_iters} (TRAIN AVG.LOSS): "
             f"{_fmt(tr_m, metric_keys)}\n"
             f"{iteration + 1}/{max_iters} (CROSS AVG.LOSS): "
             f"{_fmt(cv_m, metric_keys)}")
-        tr_writer.write(iteration + 1, tr_m)
+        tr_writer.write(iteration + 1,
+                        {**tr_m, "train_frames_per_sec": fps})
         cv_writer.write(iteration + 1, cv_m)
         profiler.stop()
 
@@ -889,6 +1033,18 @@ def build_parser() -> argparse.ArgumentParser:
                    help="bfloat16 matmuls in models (recommended on TPU)")
     p.add_argument("--steps_per_call", type=int, default=8,
                    help="same-bucket train steps fused under one jit")
+    p.add_argument("--device_feed", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="keep the corpus resident in device HBM and "
+                        "assemble batches on device (sequence trainers, "
+                        "single device; ~30x loop speedup through the "
+                        "axon tunnel). auto = on when the backend is TPU "
+                        "and the tables fit $RSRGAN_FEED_HBM_BUDGET")
+    p.add_argument("--device_feed_dtype", default="auto",
+                   choices=["auto", "float32", "bfloat16"],
+                   help="resident table dtype; bfloat16 halves HBM + "
+                        "upload time (features quantize, training "
+                        "conventions unchanged)")
     p.add_argument("--same_batch", type=str2bool, nargs="?", const=True, default=True,
                    help="True: placeholder-trainer semantics (D and G on "
                         "the same minibatch); False: graph-fed semantics "

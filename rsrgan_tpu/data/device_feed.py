@@ -1,0 +1,101 @@
+"""Device-resident corpus: upload the store's feature payload to HBM once.
+
+Motivation (measured on this host, BENCH_NOTES "Device-resident feed"):
+the axon tunnel moves ~22 MB/s host->device with a ~30 ms dispatch floor,
+so the classic host-fed loop re-ships ~2.9 GB of features per training
+iteration — ~30x slower than the device step itself. ``DeviceFeed``
+uploads the flat frame tables ONCE (chunked ``device_put`` + one on-device
+concat) and training assembles batches on device from ``[S, B]`` int32
+index plans (rsrgan_tpu/ops/gather.py), cutting per-iteration transfer to
+kilobytes.
+
+Replaces the host/device boundary of the reference's feeder-thread +
+feed_dict design (scripts/train_gan_rnn_placeholder.py:30-45,463-478)
+rather than mirroring it: a TPU has the HBM to hold the working corpus
+(reference scale ~100 h of 257-dim LPS ~= 9 GB in bfloat16).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rsrgan_tpu.data.store import UtteranceStore
+
+_DEFAULT_CHUNK_BYTES = 1 << 28  # 256 MB: amortizes the per-put fixed cost
+
+
+def table_bytes(store: UtteranceStore, itemsize: int = 4) -> int:
+    """HBM footprint of a store's resident tables at the given itemsize."""
+    total = int(store.lengths.sum()) + 1  # +1: the zero pad row
+    dims = store.input_dim
+    if store.has_labels:
+        dims += store.output_dim
+    return total * dims * itemsize
+
+
+def _upload_table(row_fn, n_utts: int, dim: int, dtype,
+                  chunk_bytes: int) -> jnp.ndarray:
+    """Concatenate all utterances' rows + one zero row into a device array,
+    uploaded in large chunks (the tunnel's per-transfer overhead makes
+    many small puts slower than few big ones)."""
+    rows_per_chunk = max(1, chunk_bytes // (dim * 4))
+    chunks, buf, buf_rows = [], [], 0
+    for i in range(n_utts):
+        m = np.asarray(row_fn(i))
+        buf.append(m)
+        buf_rows += m.shape[0]
+        if buf_rows >= rows_per_chunk:
+            chunks.append(jax.device_put(
+                np.concatenate(buf).astype(dtype)))
+            buf, buf_rows = [], 0
+    buf.append(np.zeros((1, dim), np.float32))  # zero pad row (index total)
+    chunks.append(jax.device_put(np.concatenate(buf).astype(dtype)))
+    if len(chunks) == 1:
+        return chunks[0]
+    return jnp.concatenate(chunks, axis=0)
+
+
+class DeviceFeed:
+    """Resident (inputs, labels) tables + host-side index plans.
+
+    ``inputs_tbl``  [total+1, in_dim]  (row ``total`` is all-zero)
+    ``labels_tbl``  [total+1, out_dim] or None (test stores)
+    ``plan(indices)`` -> (starts [B] int32, lengths [B] int32) numpy arrays
+    ready to stack into the ``[S, B]`` plans the gathered train steps take.
+    """
+
+    def __init__(self, store: UtteranceStore, dtype=jnp.float32,
+                 chunk_bytes: int = _DEFAULT_CHUNK_BYTES):
+        lens = store.lengths.astype(np.int64)
+        total = int(lens.sum())
+        if total + 1 > np.iinfo(np.int32).max:
+            raise ValueError(
+                f"store has {total} frames — beyond int32 gather indices; "
+                "shard the corpus across multiple training runs/hosts")
+        starts = np.zeros(len(lens), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        self.starts = starts.astype(np.int32)
+        self.lengths = lens.astype(np.int32)
+        self.dtype = dtype
+        self.inputs_tbl = _upload_table(store.inputs, len(store),
+                                        store.input_dim, dtype, chunk_bytes)
+        self.labels_tbl: Optional[jnp.ndarray] = None
+        if store.has_labels:
+            self.labels_tbl = _upload_table(store.labels, len(store),
+                                            store.output_dim, dtype,
+                                            chunk_bytes)
+
+    @property
+    def num_bytes(self) -> int:
+        n = self.inputs_tbl.size * self.inputs_tbl.dtype.itemsize
+        if self.labels_tbl is not None:
+            n += self.labels_tbl.size * self.labels_tbl.dtype.itemsize
+        return int(n)
+
+    def plan(self, indices) -> Tuple[np.ndarray, np.ndarray]:
+        ix = np.asarray(indices, np.int64)
+        return self.starts[ix], self.lengths[ix]

@@ -30,6 +30,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from rsrgan_tpu.ops.gather import assemble_sequence_batch
 from rsrgan_tpu.training.losses import (g_mse_loss, l2_loss_nonbias,
                                         lsgan_d_losses, lsgan_g_adv_loss)
 from rsrgan_tpu.training.state import NetState, make_optimizer
@@ -325,8 +326,53 @@ class GanTrainer:
                                       (inputs, labels, lengths, rngs))
         return state, jax.tree.map(jnp.mean, metrics)
 
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10),
+                       donate_argnums=1)
+    def train_multi_step_gathered(self, state: GanState, inputs_tbl,
+                                  labels_tbl, starts, lengths, hp, rng,
+                                  t_pad: int, left: int, right: int):
+        """N train steps with ON-DEVICE batch assembly from resident
+        tables (rsrgan_tpu/data/device_feed.py): ``starts``/``lengths`` are
+        [S, B] int32 plans; each scan step gathers its [B, t_pad, D] batch
+        from HBM instead of receiving it from the host. Semantically
+        identical to N ``train_step`` calls on host-materialized batches
+        (tests/test_device_feed.py proves bit-equality)."""
+        n = starts.shape[0]
+        rngs = jax.random.split(rng, n)
+
+        def body(state, scan_in):
+            st, le, ri = scan_in
+            x, y = assemble_sequence_batch(inputs_tbl, labels_tbl, st, le,
+                                           t_pad, left, right)
+            return self._train_step_impl(state, x, y, le, hp, ri)
+
+        state, metrics = jax.lax.scan(body, state, (starts, lengths, rngs))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10))
+    def eval_multi_step_gathered(self, state: GanState, inputs_tbl,
+                                 labels_tbl, starts, lengths, hp, rng,
+                                 t_pad: int, left: int, right: int):
+        """N eval steps with on-device batch assembly; returns the metric
+        means over the S plans (equal batch sizes -> equal weights)."""
+        n = starts.shape[0]
+        rngs = jax.random.split(rng, n)
+
+        def body(carry, scan_in):
+            st, le, ri = scan_in
+            x, y = assemble_sequence_batch(inputs_tbl, labels_tbl, st, le,
+                                           t_pad, left, right)
+            return carry, self._eval_step_impl(state, x, y, le, hp, ri)
+
+        _, metrics = jax.lax.scan(body, 0, (starts, lengths, rngs))
+        return jax.tree.map(jnp.mean, metrics)
+
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: GanState, inputs, labels, lengths, hp, rng):
+        return self._eval_step_impl(state, inputs, labels, lengths, hp, rng)
+
+    def _eval_step_impl(self, state: GanState, inputs, labels, lengths, hp,
+                        rng):
         """All losses, no updates (eval_one_iteration parity: noise active,
         dropout off)."""
         rngs = jax.random.split(rng, 3)

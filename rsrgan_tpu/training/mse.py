@@ -14,6 +14,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from rsrgan_tpu.ops.gather import assemble_sequence_batch
 from rsrgan_tpu.training.losses import g_mse_loss, l2_loss_nonbias
 from rsrgan_tpu.training.state import NetState, make_optimizer
 
@@ -113,8 +114,46 @@ class MseTrainer:
              lengths if lengths is not None else jnp.zeros((n, 1)), rngs))
         return state, jax.tree.map(jnp.mean, metrics)
 
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10),
+                       donate_argnums=1)
+    def train_multi_step_gathered(self, state: MseState, inputs_tbl,
+                                  labels_tbl, starts, lengths, lr, rng,
+                                  t_pad: int, left: int, right: int):
+        """N train steps with on-device batch assembly from resident
+        tables ([S, B] int32 plans; see GanTrainer.train_multi_step_gathered
+        and rsrgan_tpu/data/device_feed.py)."""
+        n = starts.shape[0]
+        rngs = jax.random.split(rng, n)
+
+        def body(state, scan_in):
+            st, le, ri = scan_in
+            x, y = assemble_sequence_batch(inputs_tbl, labels_tbl, st, le,
+                                           t_pad, left, right)
+            return self._train_step_impl(state, x, y, le, lr, ri)
+
+        state, metrics = jax.lax.scan(body, state, (starts, lengths, rngs))
+        return state, jax.tree.map(jnp.mean, metrics)
+
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+    def eval_multi_step_gathered(self, state: MseState, inputs_tbl,
+                                 labels_tbl, starts, lengths,
+                                 t_pad: int, left: int, right: int):
+        """N eval steps with on-device batch assembly (metric means)."""
+
+        def body(carry, scan_in):
+            st, le = scan_in
+            x, y = assemble_sequence_batch(inputs_tbl, labels_tbl, st, le,
+                                           t_pad, left, right)
+            return carry, self._eval_step_impl(state, x, y, le)
+
+        _, metrics = jax.lax.scan(body, 0, (starts, lengths))
+        return jax.tree.map(jnp.mean, metrics)
+
     @functools.partial(jax.jit, static_argnums=0)
     def eval_step(self, state: MseState, inputs, labels, lengths):
+        return self._eval_step_impl(state, inputs, labels, lengths)
+
+    def _eval_step_impl(self, state: MseState, inputs, labels, lengths):
         g_out, _ = self._apply(state.net.params, state.net.extra, inputs,
                                lengths, False, None)
         mse = g_mse_loss(g_out, labels, self.output_dim)
