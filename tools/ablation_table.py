@@ -45,13 +45,38 @@ def main(argv=None) -> int:
     p.add_argument("--train_dir", required=True)
     p.add_argument("--gan_dir", required=True)
     p.add_argument("--mse_dir", required=True)
+    p.add_argument("--extra", action="append", default=[],
+                   metavar="NAME[:LABEL]",
+                   help="additional system rows (sweep/seed runs) read "
+                        "from feats_NAME.jsonl / wav_NAME.jsonl")
+    p.add_argument("--aggregate", action="append", default=[],
+                   metavar="LABEL:NAME1,NAME2",
+                   help="mean ± half-range row over member systems "
+                        "(seed-variance reporting)")
     args = p.parse_args(argv)
     w = args.workdir
 
+    systems = list(SYSTEMS)
+    labels = dict(LABELS)
+    for spec in args.extra:
+        name, _, label = spec.partition(":")
+        systems.append(name)
+        labels[name] = label or name
+
     stats = {}
-    for sys_name in SYSTEMS:
+    for sys_name in systems:
         stats[sys_name] = {**_means(f"{w}/feats_{sys_name}.jsonl"),
                            **_means(f"{w}/wav_{sys_name}.jsonl")}
+
+    # recognition-proxy scores (tools/proxy_asr.py), if that stage ran
+    proxy = {}
+    if os.path.exists(f"{w}/proxy.json"):
+        with open(f"{w}/proxy.json") as f:
+            proxy = json.load(f).get("systems", {})
+        for sys_name in systems:
+            if sys_name in proxy:
+                stats[sys_name]["proxy_fer"] = proxy[sys_name]["fer"]
+                stats[sys_name]["proxy_ser"] = proxy[sys_name]["ser"]
 
     cols = [("feature-MSE", "mse", "{:.4f}"),
             ("LSD (dB)", "lsd_db", "{:.3f}"),
@@ -59,15 +84,41 @@ def main(argv=None) -> int:
             ("SI-SNR (dB)", "si_snr_db", "{:.2f}"),
             ("STOI", "stoi", "{:.4f}"),
             ("ESTOI", "estoi", "{:.4f}")]
+    if proxy:
+        cols += [("proxy FER", "proxy_fer", "{:.4f}"),
+                 ("proxy SER", "proxy_ser", "{:.4f}")]
     lines = ["| system | " + " | ".join(c[0] for c in cols) + " |",
              "|---|" + "---|" * len(cols)]
-    for sys_name in SYSTEMS:
-        row = [LABELS[sys_name]]
+    for sys_name in systems:
+        row = [labels[sys_name]]
         for _, key, fmt in cols:
             v = stats[sys_name].get(key)
             row.append(fmt.format(v) if v is not None else "—")
         lines.append("| " + " | ".join(row) + " |")
+    for spec in args.aggregate:
+        label, _, members = spec.partition(":")
+        names = [m for m in members.split(",") if m in stats]
+        row = [label]
+        agg = {}
+        for _, key, fmt in cols:
+            vals = [stats[m][key] for m in names
+                    if stats[m].get(key) is not None]
+            if not vals:
+                row.append("—")
+                continue
+            mid = float(np.mean(vals))
+            half = (max(vals) - min(vals)) / 2.0
+            agg[key] = (mid, half)
+            row.append(f"{fmt.format(mid)} ± {fmt.format(half).lstrip('-')}")
+        lines.append("| " + " | ".join(row) + " |")
+        stats[f"agg:{label}"] = {k: v[0] for k, v in agg.items()}
+        stats[f"agg:{label}:spread"] = {k: v[1] for k, v in agg.items()}
     table = "\n".join(lines)
+    if proxy.get("clean"):
+        table += (f"\n\nProxy classifier ceiling on clean held-out "
+                  f"features: FER {proxy['clean']['fer']:.4f}, "
+                  f"SER {proxy['clean']['ser']:.4f} "
+                  f"({proxy['clean']['segments']} segments).")
 
     noisy, mse, gan = stats["noisy"], stats["mse"], stats["gan"]
     derived = {}
@@ -84,6 +135,12 @@ def main(argv=None) -> int:
         # the adversarial term exists to restore it)
         derived["gan_gv_gap"] = round(abs(1.0 - gan["gv_ratio"]), 4)
         derived["mse_gv_gap"] = round(abs(1.0 - mse["gv_ratio"]), 4)
+    if gan.get("proxy_fer") is not None and mse.get("proxy_fer") is not None:
+        # the recognition axis (the reference's actual claim is ASR WER)
+        derived["gan_vs_mse_proxy_fer"] = round(
+            gan["proxy_fer"] - mse["proxy_fer"], 4)
+        derived["gan_vs_mse_proxy_ser"] = round(
+            gan["proxy_ser"] - mse["proxy_ser"], 4)
 
     md = (f"# Ablation: {LABELS['gan']} vs {LABELS['mse']} vs baseline\n\n"
           f"Held-out set: {noisy.get('num_utts', 0)} utterances, "
