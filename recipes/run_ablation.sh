@@ -46,11 +46,19 @@ seeds=${SEEDS:-777}
 weights=${MSE_WEIGHTS:-10}
 first_seed=$(set -- $seeds; echo "$1")
 train_dir=$workdir/data/train
+# TPU client handoff gap (CLAUDE.md tunnel quirk); raise when CPU-heavy
+# work runs concurrently with the TPU stages (teardown can outlast 15 s
+# under host contention and wedge the tunnel server-side)
+handoff=${TPU_HANDOFF_SLEEP:-15}
 
 gan_sys() {  # gan_sys WEIGHT SEED -> system name
   if [ "$1" = "10" ] && [ "$2" = "$first_seed" ]; then echo gan
   else echo "gan_w$1_s$2"; fi
 }
+# the sweep grid is a cross in weight x seed, not a full product: weights
+# are swept at the first seed (objective-balance curve), seeds at the
+# reference weight 10 (variance of the canonical systems)
+gan_combo_skip() { [ "$2" != "$first_seed" ] && [ "$1" != "10" ]; }
 mse_sys() {  # mse_sys SEED
   if [ "$1" = "$first_seed" ]; then echo mse; else echo "mse_s$1"; fi
 }
@@ -130,11 +138,12 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "== stage 4: train flagship LSGAN (warm-up + main) per seed/weight =="
   set -- $gan_epochs; gmin=$1; gmax=$2
   for s in $seeds; do for w in $weights; do
+    gan_combo_skip $w $s && continue
     name=$(gan_sys $w $s); dir=$(sys_dir $name)
     echo "-- GAN system $name (mse_weight=$w seed=$s) --"
     for cfg in "0.001 1 1" "0.0003 $gmin $gmax"; do
       set -- $cfg
-      sleep 15
+      sleep $handoff
       python -m rsrgan_tpu.cli.train \
         --trainer=gan_rnn $common_flags \
         --save_dir=$dir --seed=$s \
@@ -152,7 +161,7 @@ if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   for s in $seeds; do
     name=$(mse_sys $s); dir=$(sys_dir $name)
     echo "-- MSE system $name (seed=$s) --"
-    sleep 15
+    sleep $handoff
     python -m rsrgan_tpu.cli.train \
       --trainer=rnn $common_flags \
       --save_dir=$dir --seed=$s \
@@ -163,6 +172,7 @@ fi
 
 all_systems() {  # every trained system: "name trainer dir" lines
   for s in $seeds; do for w in $weights; do
+    gan_combo_skip $w $s && continue
     echo "$(gan_sys $w $s) gan_rnn $(sys_dir $(gan_sys $w $s))"
   done; done
   for s in $seeds; do
@@ -173,7 +183,7 @@ all_systems() {  # every trained system: "name trainer dir" lines
 if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   echo "== stage 6: decode the held-out set with every system =="
   all_systems | while read -r name trainer dir; do
-    sleep 15
+    sleep $handoff
     python -m rsrgan_tpu.cli.train \
       --decode --trainer=$trainer --g_type=res_lstm_l \
       --data_dir=$train_dir --test_list_file=$train_dir/test.list \
@@ -216,7 +226,7 @@ if [ "$stage" -le 7 ] && [ "$stop_stage" -ge 7 ]; then
   while read -r name trainer dir; do
     proxy_evals="$proxy_evals --eval $name=$dir/test/feats.scp"
   done < <(all_systems)
-  sleep 15
+  sleep $handoff
   python tools/proxy_asr.py \
     --train_scp=$train_dir/tr/labels.scp \
     --ali_scp=$workdir/sim/ali.scp \
@@ -229,6 +239,7 @@ if [ "$stop_stage" -lt 8 ]; then echo "stopped at stop_stage=$stop_stage"; exit 
 echo "== stage 8: ablation table =="
 extra_args=()
 for s in $seeds; do for w in $weights; do
+  gan_combo_skip $w $s && continue
   name=$(gan_sys $w $s)
   [ "$name" = "gan" ] || extra_args+=("--extra=$name:LSGAN(w=$w,seed=$s)")
 done; done

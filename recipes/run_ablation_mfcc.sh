@@ -21,9 +21,19 @@ gan_epochs=${4:-"18 20"}
 mse_epochs=${5:-"20 25"}
 stage=${stage:-0}
 stop_stage=${stop_stage:-6}
+seeds=${SEEDS:-777}
+first_seed=$(set -- $seeds; echo "$1")
+handoff=${TPU_HANDOFF_SLEEP:-15}
 train_dir=$workdir/data/train
-gan_dir=$workdir/exp/gan_res_lstm_l
-mse_dir=$workdir/exp/mse_res_lstm_l
+gan_sys() { if [ "$1" = "$first_seed" ]; then echo gan; else echo "gan_s$1"; fi; }
+mse_sys() { if [ "$1" = "$first_seed" ]; then echo mse; else echo "mse_s$1"; fi; }
+sys_dir() { echo "$workdir/exp/$1_res_lstm_l"; }
+gan_dir=$(sys_dir gan)
+mse_dir=$(sys_dir mse)
+all_systems() {  # "name trainer dir" lines
+  for s in $seeds; do echo "$(gan_sys $s) gan_rnn $(sys_dir $(gan_sys $s))"; done
+  for s in $seeds; do echo "$(mse_sys $s) rnn $(sys_dir $(mse_sys $s))"; done
+}
 sim_dir=$lps_workdir/sim
 lps_train=$lps_workdir/data/train
 
@@ -73,41 +83,48 @@ common_flags="--g_type=res_lstm_l --data_dir=$train_dir
   --end_improve=0.001 --lstm_impl=$lstm_impl"
 
 if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
-  echo "== stage 2: train flagship LSGAN (LPS->MFCC) =="
+  echo "== stage 2: train flagship LSGAN (LPS->MFCC) per seed =="
   set -- $gan_epochs; gmin=$1; gmax=$2
-  for cfg in "0.001 1 1" "0.0003 $gmin $gmax"; do
-    set -- $cfg
-    sleep 15
-    python -m rsrgan_tpu.cli.train \
-      --trainer=gan_rnn $common_flags \
-      --save_dir=$gan_dir \
-      --g_learning_rate=0.00008 --d_learning_rate=$1 \
-      --disc_updates=1 --gen_updates=2 \
-      --init_mse_weight=10.0 --init_disc_noise_std=0.05 \
-      --min_epoches=$2 --max_epoches=$3
+  for s in $seeds; do
+    dir=$(sys_dir $(gan_sys $s))
+    echo "-- GAN system $(gan_sys $s) (seed=$s) --"
+    for cfg in "0.001 1 1" "0.0003 $gmin $gmax"; do
+      set -- $cfg
+      sleep $handoff
+      python -m rsrgan_tpu.cli.train \
+        --trainer=gan_rnn $common_flags \
+        --save_dir=$dir --seed=$s \
+        --g_learning_rate=0.00008 --d_learning_rate=$1 \
+        --disc_updates=1 --gen_updates=2 \
+        --init_mse_weight=10.0 --init_disc_noise_std=0.05 \
+        --min_epoches=$2 --max_epoches=$3
+    done
   done
 fi
 
 if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
-  echo "== stage 3: train MSE baseline (LPS->MFCC) =="
-  set -- $mse_epochs
-  sleep 15
-  python -m rsrgan_tpu.cli.train \
-    --trainer=rnn $common_flags \
-    --save_dir=$mse_dir \
-    --g_learning_rate=0.0003 \
-    --min_epoches=$1 --max_epoches=$2
+  echo "== stage 3: train MSE baseline (LPS->MFCC) per seed =="
+  set -- $mse_epochs; mmin=$1; mmax=$2
+  for s in $seeds; do
+    dir=$(sys_dir $(mse_sys $s))
+    echo "-- MSE system $(mse_sys $s) (seed=$s) --"
+    sleep $handoff
+    python -m rsrgan_tpu.cli.train \
+      --trainer=rnn $common_flags \
+      --save_dir=$dir --seed=$s \
+      --g_learning_rate=0.0003 \
+      --min_epoches=$mmin --max_epoches=$mmax
+  done
 fi
 
 if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
-  echo "== stage 4: decode the held-out set with both systems =="
-  for cfg in "gan_rnn $gan_dir" "rnn $mse_dir"; do
-    set -- $cfg
-    sleep 15
+  echo "== stage 4: decode the held-out set with every system =="
+  all_systems | while read -r name trainer dir; do
+    sleep $handoff
     python -m rsrgan_tpu.cli.train \
-      --decode --trainer=$1 --g_type=res_lstm_l \
+      --decode --trainer=$trainer --g_type=res_lstm_l \
       --data_dir=$train_dir --test_list_file=$train_dir/test.list \
-      --save_dir=$2 \
+      --save_dir=$dir \
       --input_dim=257 --output_dim=40 --batch_size=1 \
       --decode_batch_size=8 --lstm_impl=$lstm_impl
   done
@@ -122,20 +139,21 @@ if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   python -m rsrgan_tpu.cli.score --mode feats \
     --est_scp=$workdir/cv_noisy_mfcc.scp --ref_scp=$train_dir/cv/labels.scp \
     --per_utt=$workdir/feats_noisy.jsonl > /dev/null
-  python -m rsrgan_tpu.cli.score --mode feats \
-    --est_scp=$mse_dir/test/feats.scp --ref_scp=$train_dir/cv/labels.scp \
-    --per_utt=$workdir/feats_mse.jsonl > /dev/null
-  python -m rsrgan_tpu.cli.score --mode feats \
-    --est_scp=$gan_dir/test/feats.scp --ref_scp=$train_dir/cv/labels.scp \
-    --per_utt=$workdir/feats_gan.jsonl > /dev/null
-  sleep 15
+  proxy_evals="--eval noisy=$workdir/cv_noisy_mfcc.scp"
+  all_systems | while read -r name trainer dir; do
+    python -m rsrgan_tpu.cli.score --mode feats \
+      --est_scp=$dir/test/feats.scp --ref_scp=$train_dir/cv/labels.scp \
+      --per_utt=$workdir/feats_$name.jsonl > /dev/null
+  done
+  while read -r name trainer dir; do
+    proxy_evals="$proxy_evals --eval $name=$dir/test/feats.scp"
+  done < <(all_systems)
+  sleep $handoff
   python tools/proxy_asr.py \
     --train_scp=$train_dir/tr/labels.scp \
     --ali_scp=$sim_dir/ali.scp \
     --holdout_scp=$train_dir/cv/labels.scp \
-    --eval noisy=$workdir/cv_noisy_mfcc.scp \
-    --eval mse=$mse_dir/test/feats.scp \
-    --eval gan=$gan_dir/test/feats.scp \
+    $proxy_evals \
     --batch=16384 --out=$workdir/proxy.json
 fi
 
@@ -143,9 +161,22 @@ if [ "$stop_stage" -lt 6 ]; then echo "stopped at stop_stage=$stop_stage"; exit 
 echo "== stage 6: table (feature-domain + proxy; no wav metrics) =="
 # the ESTOI gate cannot apply (MFCC is not resynthesizable); judge on the
 # feature-domain LSD ratio only
+extra_args=()
+for s in $seeds; do
+  [ "$(gan_sys $s)" = "gan" ] || extra_args+=("--extra=$(gan_sys $s):LSGAN(seed=$s)")
+  [ "$(mse_sys $s)" = "mse" ] || extra_args+=("--extra=$(mse_sys $s):MSE(seed=$s)")
+done
+nseeds=$(set -- $seeds; echo $#)
+if [ "$nseeds" -gt 1 ]; then
+  gan_members=$(for s in $seeds; do gan_sys $s; done | paste -sd, -)
+  mse_members=$(for s in $seeds; do mse_sys $s; done | paste -sd, -)
+  extra_args+=("--aggregate=LSGAN mean±spread ($nseeds seeds):$gan_members")
+  extra_args+=("--aggregate=MSE mean±spread ($nseeds seeds):$mse_members")
+fi
 ABLATION_MIN_ESTOI_DELTA=${ABLATION_MIN_ESTOI_DELTA:--1} \
 ABLATION_MAX_LSD_RATIO=${ABLATION_MAX_LSD_RATIO:-0.9} \
 python tools/ablation_table.py "$workdir" \
-  --train_dir="$train_dir" --gan_dir="$gan_dir" --mse_dir="$mse_dir"
+  --train_dir="$train_dir" --gan_dir="$gan_dir" --mse_dir="$mse_dir" \
+  ${extra_args[@]+"${extra_args[@]}"}
 mv $workdir/ablation.md $workdir/ablation_mfcc.md 2>/dev/null || true
 mv $workdir/ablation.json $workdir/ablation_mfcc.json 2>/dev/null || true

@@ -17,6 +17,7 @@ rather than mirroring it: a TPU has the HBM to hold the working corpus
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional, Tuple
 
 import jax
@@ -37,26 +38,44 @@ def table_bytes(store: UtteranceStore, itemsize: int = 4) -> int:
     return total * dims * itemsize
 
 
-def _upload_table(row_fn, n_utts: int, dim: int, dtype,
+@partial(jax.jit, donate_argnums=0)
+def _write_chunk(table: jnp.ndarray, chunk: jnp.ndarray,
+                 offset: jnp.ndarray) -> jnp.ndarray:
+    """In-place (donated) row-block write — keeps the upload's HBM peak at
+    table + one chunk instead of the 2x-table transient a device-side
+    concatenate of all chunks would need (at reference scale the f32
+    tables alone are ~half of HBM; the concat peak OOMed)."""
+    return jax.lax.dynamic_update_slice(table, chunk,
+                                        (offset, jnp.int32(0)))
+
+
+def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
                   chunk_bytes: int) -> jnp.ndarray:
-    """Concatenate all utterances' rows + one zero row into a device array,
+    """All utterances' rows + one trailing zero row as a device array,
     uploaded in large chunks (the tunnel's per-transfer overhead makes
-    many small puts slower than few big ones)."""
+    many small puts slower than few big ones) into a preallocated,
+    donation-updated table."""
     rows_per_chunk = max(1, chunk_bytes // (dim * 4))
-    chunks, buf, buf_rows = [], [], 0
+    # zeros-init covers the pad row (index total_rows) by construction
+    table = jnp.zeros((total_rows + 1, dim), dtype)
+    written, buf, buf_rows = 0, [], 0
+
+    def flush():
+        nonlocal table, written, buf, buf_rows
+        chunk = jax.device_put(np.concatenate(buf).astype(dtype))
+        table = _write_chunk(table, chunk, jnp.int32(written))
+        written += buf_rows
+        buf, buf_rows = [], 0
+
     for i in range(n_utts):
         m = np.asarray(row_fn(i))
         buf.append(m)
         buf_rows += m.shape[0]
         if buf_rows >= rows_per_chunk:
-            chunks.append(jax.device_put(
-                np.concatenate(buf).astype(dtype)))
-            buf, buf_rows = [], 0
-    buf.append(np.zeros((1, dim), np.float32))  # zero pad row (index total)
-    chunks.append(jax.device_put(np.concatenate(buf).astype(dtype)))
-    if len(chunks) == 1:
-        return chunks[0]
-    return jnp.concatenate(chunks, axis=0)
+            flush()
+    if buf:
+        flush()
+    return table
 
 
 class DeviceFeed:
@@ -81,11 +100,11 @@ class DeviceFeed:
         self.starts = starts.astype(np.int32)
         self.lengths = lens.astype(np.int32)
         self.dtype = dtype
-        self.inputs_tbl = _upload_table(store.inputs, len(store),
+        self.inputs_tbl = _upload_table(store.inputs, len(store), total,
                                         store.input_dim, dtype, chunk_bytes)
         self.labels_tbl: Optional[jnp.ndarray] = None
         if store.has_labels:
-            self.labels_tbl = _upload_table(store.labels, len(store),
+            self.labels_tbl = _upload_table(store.labels, len(store), total,
                                             store.output_dim, dtype,
                                             chunk_bytes)
 
