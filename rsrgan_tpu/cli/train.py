@@ -282,7 +282,11 @@ def decide_device_feed(args, tr_store, cv_store, mesh, pcount):
         return None
     if args.device_feed == "auto" and jax.default_backend() != "tpu":
         return None  # host feed is not the bottleneck off-tunnel
-    budget = float(os.environ.get("RSRGAN_FEED_HBM_BUDGET", 9e9))
+    # table_bytes accounts tile-padded widths (what HBM really allocates);
+    # 11.5 GB of the chip's 15.75 GB leaves ~4 GB for params/opt + the
+    # B=8..16 step working set (round-4 phase-A OOM dump: step temps
+    # without the since-removed table relayout copies were < 1.5 GB).
+    budget = float(os.environ.get("RSRGAN_FEED_HBM_BUDGET", 11.5e9))
     f32_bytes = table_bytes(tr_store, 4) + table_bytes(cv_store, 4)
     if args.device_feed_dtype == "float32":
         return jnp.float32
@@ -476,7 +480,7 @@ def run_sequence_training(args) -> int:
             state, m = trainer.train_multi_step_gathered(
                 state, feed_tr.inputs_tbl, feed_tr.labels_tbl, starts,
                 lens, lr_or_hp, sub, t_pad, args.left_context,
-                args.right_context)
+                args.right_context, feed_tr.in_dim, feed_tr.out_dim)
             tr_accum.append((m, len(plans)))
             snapper.maybe(state)
 
@@ -557,12 +561,12 @@ def run_sequence_training(args) -> int:
                     m = trainer.eval_multi_step_gathered(
                         state, feed_cv.inputs_tbl, feed_cv.labels_tbl,
                         starts, lens, hp, sub, t_pad, args.left_context,
-                        args.right_context)
+                        args.right_context, feed_cv.in_dim, feed_cv.out_dim)
                 else:
                     m = trainer.eval_multi_step_gathered(
                         state, feed_cv.inputs_tbl, feed_cv.labels_tbl,
                         starts, lens, t_pad, args.left_context,
-                        args.right_context)
+                        args.right_context, feed_cv.in_dim, feed_cv.out_dim)
                 cv_accum.append((m, len(plans)))
 
             for indices in cv_batches.iter_index_batches():

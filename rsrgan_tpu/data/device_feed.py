@@ -28,13 +28,30 @@ from rsrgan_tpu.data.store import UtteranceStore
 
 _DEFAULT_CHUNK_BYTES = 1 << 28  # 256 MB: amortizes the per-put fixed cost
 
+_LANE = 128  # TPU minor-dim tile width
+
+
+def pad_dim(d: int) -> int:
+    """Feature dim rounded up to the 128-lane tile.
+
+    Resident tables are allocated at this width so their row-major layout
+    is already compact: with a non-aligned minor dim (257 -> 1.5x tile
+    padding) the AOT compiler stores the upload's output column-major to
+    save HBM, and the training program then re-layouts BOTH full tables
+    row-major for the gather — at 20 h corpus scale those in-program
+    copies alone exceeded HBM (21.2 G used of 15.75 G, round-4 phase-A
+    log). Tile-aligned width makes row-major == compact, so producer and
+    consumer agree on layout and the tables are gathered in place."""
+    return -(-d // _LANE) * _LANE
+
 
 def table_bytes(store: UtteranceStore, itemsize: int = 4) -> int:
-    """HBM footprint of a store's resident tables at the given itemsize."""
+    """HBM footprint of a store's resident tables at the given itemsize
+    (tile-padded widths — what the device actually allocates)."""
     total = int(store.lengths.sum()) + 1  # +1: the zero pad row
-    dims = store.input_dim
+    dims = pad_dim(store.input_dim)
     if store.has_labels:
-        dims += store.output_dim
+        dims += pad_dim(store.output_dim)
     return total * dims * itemsize
 
 
@@ -56,8 +73,10 @@ def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
     many small puts slower than few big ones) into a preallocated,
     donation-updated table."""
     rows_per_chunk = max(1, chunk_bytes // (dim * 4))
-    # zeros-init covers the pad row (index total_rows) by construction
-    table = jnp.zeros((total_rows + 1, dim), dtype)
+    # zeros-init covers the pad row (index total_rows) AND the tile-pad
+    # columns (dim..pad_dim) by construction; chunks stay compact on the
+    # wire — dynamic_update_slice writes the narrow block in place.
+    table = jnp.zeros((total_rows + 1, pad_dim(dim)), dtype)
     written, buf, buf_rows = 0, [], 0
 
     def flush():
@@ -81,8 +100,10 @@ def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
 class DeviceFeed:
     """Resident (inputs, labels) tables + host-side index plans.
 
-    ``inputs_tbl``  [total+1, in_dim]  (row ``total`` is all-zero)
-    ``labels_tbl``  [total+1, out_dim] or None (test stores)
+    ``inputs_tbl``  [total+1, pad_dim(in_dim)]  (row ``total`` all-zero;
+    columns past ``in_dim`` all-zero tile padding — consumers slice with
+    the logical ``in_dim``/``out_dim`` attributes)
+    ``labels_tbl``  [total+1, pad_dim(out_dim)] or None (test stores)
     ``plan(indices)`` -> (starts [B] int32, lengths [B] int32) numpy arrays
     ready to stack into the ``[S, B]`` plans the gathered train steps take.
     """
@@ -100,10 +121,13 @@ class DeviceFeed:
         self.starts = starts.astype(np.int32)
         self.lengths = lens.astype(np.int32)
         self.dtype = dtype
+        self.in_dim = int(store.input_dim)
+        self.out_dim: Optional[int] = None
         self.inputs_tbl = _upload_table(store.inputs, len(store), total,
                                         store.input_dim, dtype, chunk_bytes)
         self.labels_tbl: Optional[jnp.ndarray] = None
         if store.has_labels:
+            self.out_dim = int(store.output_dim)
             self.labels_tbl = _upload_table(store.labels, len(store), total,
                                             store.output_dim, dtype,
                                             chunk_bytes)

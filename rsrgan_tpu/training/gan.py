@@ -326,11 +326,12 @@ class GanTrainer:
                                       (inputs, labels, lengths, rngs))
         return state, jax.tree.map(jnp.mean, metrics)
 
-    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10),
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12),
                        donate_argnums=1)
     def train_multi_step_gathered(self, state: GanState, inputs_tbl,
                                   labels_tbl, starts, lengths, hp, rng,
-                                  t_pad: int, left: int, right: int):
+                                  t_pad: int, left: int, right: int,
+                                  in_dim: int = None, out_dim: int = None):
         """N train steps with ON-DEVICE batch assembly from resident
         tables (rsrgan_tpu/data/device_feed.py): ``starts``/``lengths`` are
         [S, B] int32 plans; each scan step gathers its [B, t_pad, D] batch
@@ -343,16 +344,18 @@ class GanTrainer:
         def body(state, scan_in):
             st, le, ri = scan_in
             x, y = assemble_sequence_batch(inputs_tbl, labels_tbl, st, le,
-                                           t_pad, left, right)
+                                           t_pad, left, right,
+                                           in_dim, out_dim)
             return self._train_step_impl(state, x, y, le, hp, ri)
 
         state, metrics = jax.lax.scan(body, state, (starts, lengths, rngs))
         return state, jax.tree.map(jnp.mean, metrics)
 
-    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10))
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12))
     def eval_multi_step_gathered(self, state: GanState, inputs_tbl,
                                  labels_tbl, starts, lengths, hp, rng,
-                                 t_pad: int, left: int, right: int):
+                                 t_pad: int, left: int, right: int,
+                                 in_dim: int = None, out_dim: int = None):
         """N eval steps with on-device batch assembly; returns the metric
         means over the S plans (equal batch sizes -> equal weights)."""
         n = starts.shape[0]
@@ -361,7 +364,8 @@ class GanTrainer:
         def body(carry, scan_in):
             st, le, ri = scan_in
             x, y = assemble_sequence_batch(inputs_tbl, labels_tbl, st, le,
-                                           t_pad, left, right)
+                                           t_pad, left, right,
+                                           in_dim, out_dim)
             return carry, self._eval_step_impl(state, x, y, le, hp, ri)
 
         _, metrics = jax.lax.scan(body, 0, (starts, lengths, rngs))

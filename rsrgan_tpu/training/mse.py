@@ -114,11 +114,12 @@ class MseTrainer:
              lengths if lengths is not None else jnp.zeros((n, 1)), rngs))
         return state, jax.tree.map(jnp.mean, metrics)
 
-    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10),
+    @functools.partial(jax.jit, static_argnums=(0, 8, 9, 10, 11, 12),
                        donate_argnums=1)
     def train_multi_step_gathered(self, state: MseState, inputs_tbl,
                                   labels_tbl, starts, lengths, lr, rng,
-                                  t_pad: int, left: int, right: int):
+                                  t_pad: int, left: int, right: int,
+                                  in_dim: int = None, out_dim: int = None):
         """N train steps with on-device batch assembly from resident
         tables ([S, B] int32 plans; see GanTrainer.train_multi_step_gathered
         and rsrgan_tpu/data/device_feed.py)."""
@@ -128,22 +129,25 @@ class MseTrainer:
         def body(state, scan_in):
             st, le, ri = scan_in
             x, y = assemble_sequence_batch(inputs_tbl, labels_tbl, st, le,
-                                           t_pad, left, right)
+                                           t_pad, left, right,
+                                           in_dim, out_dim)
             return self._train_step_impl(state, x, y, le, lr, ri)
 
         state, metrics = jax.lax.scan(body, state, (starts, lengths, rngs))
         return state, jax.tree.map(jnp.mean, metrics)
 
-    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
+    @functools.partial(jax.jit, static_argnums=(0, 6, 7, 8, 9, 10))
     def eval_multi_step_gathered(self, state: MseState, inputs_tbl,
                                  labels_tbl, starts, lengths,
-                                 t_pad: int, left: int, right: int):
+                                 t_pad: int, left: int, right: int,
+                                 in_dim: int = None, out_dim: int = None):
         """N eval steps with on-device batch assembly (metric means)."""
 
         def body(carry, scan_in):
             st, le = scan_in
             x, y = assemble_sequence_batch(inputs_tbl, labels_tbl, st, le,
-                                           t_pad, left, right)
+                                           t_pad, left, right,
+                                           in_dim, out_dim)
             return carry, self._eval_step_impl(state, x, y, le)
 
         _, metrics = jax.lax.scan(body, 0, (starts, lengths))

@@ -61,10 +61,11 @@ class TestGatherParity:
             x = np.asarray(gather_sequences(feed.inputs_tbl,
                                             jnp.asarray(st),
                                             jnp.asarray(le), t_pad,
-                                            left, right))
+                                            left, right, dim=feed.in_dim))
             y = np.asarray(gather_sequences(feed.labels_tbl,
                                             jnp.asarray(st),
-                                            jnp.asarray(le), t_pad))
+                                            jnp.asarray(le), t_pad,
+                                            dim=feed.out_dim))
             np.testing.assert_array_equal(x, batch.inputs)
             np.testing.assert_array_equal(y, batch.labels)
 
@@ -75,16 +76,26 @@ class TestGatherParity:
         st, le = feed16.plan([0, 3])
         x16 = np.asarray(gather_sequences(feed16.inputs_tbl,
                                           jnp.asarray(st), jnp.asarray(le),
-                                          100))
+                                          100, dim=feed16.in_dim))
         x32 = np.asarray(gather_sequences(feed32.inputs_tbl,
                                           jnp.asarray(st), jnp.asarray(le),
-                                          100))
+                                          100, dim=feed32.in_dim))
         assert x16.dtype == np.float32  # always upcast after gather
         np.testing.assert_allclose(x16, x32, rtol=1e-2, atol=1e-2)
 
     def test_table_bytes_estimate(self, store):
         feed = DeviceFeed(store)
         assert table_bytes(store, 4) == feed.num_bytes
+
+    def test_tables_are_tile_padded(self, store):
+        """Widths are 128-lane aligned (row-major == compact layout, so
+        the AOT compiler never relayouts the tables inside the train
+        program — the round-4 phase-A OOM); pad columns are zero."""
+        feed = DeviceFeed(store)
+        assert feed.inputs_tbl.shape[1] == 128 and feed.in_dim == D_IN
+        assert feed.labels_tbl.shape[1] == 128 and feed.out_dim == D_OUT
+        tail = np.asarray(feed.inputs_tbl[:, D_IN:])
+        assert not tail.any()
 
     def test_small_chunks_match_single_upload(self, store):
         one = DeviceFeed(store)
@@ -139,7 +150,7 @@ class TestGatheredSteps:
                                     stacked[0][0], stacked[2][0])
         s_dev, m_dev = trainer.train_multi_step_gathered(
             state2, feed.inputs_tbl, feed.labels_tbl, starts, lens, HP,
-            rng, 50, 0, 0)
+            rng, 50, 0, 0, feed.in_dim, feed.out_dim)
         for a, b in zip(jax.tree.leaves(s_host.g.params),
                         jax.tree.leaves(s_dev.g.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -158,7 +169,7 @@ class TestGatheredSteps:
                                     stacked[0][0], stacked[2][0])
         s_dev, m_dev = trainer.train_multi_step_gathered(
             state2, feed.inputs_tbl, feed.labels_tbl, starts, lens, lr,
-            rng, 50, 0, 0)
+            rng, 50, 0, 0, feed.in_dim, feed.out_dim)
         for a, b in zip(jax.tree.leaves(s_host.net.params),
                         jax.tree.leaves(s_dev.net.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -169,7 +180,7 @@ class TestGatheredSteps:
                       for i in range(2)]
         m_eval = trainer.eval_multi_step_gathered(
             s_dev, feed.inputs_tbl, feed.labels_tbl, starts, lens,
-            50, 0, 0)
+            50, 0, 0, feed.in_dim, feed.out_dim)
         for k in m_eval:
             want = np.mean([float(m[k]) for m in host_evals])
             np.testing.assert_allclose(float(m_eval[k]), want,
