@@ -57,17 +57,22 @@ def read_alignments(ali_scp: str) -> dict:
     return out
 
 
-def load_corpus(scp: ScpReader, ali: dict, context: int):
+def load_corpus(scp: ScpReader, ali: dict, context: int,
+                utt_stride: int = 1):
     """-> (base [N, D] f32, idx [N, 2c+1] i32, y [N] i32, per-utt slices).
 
     base is the unspliced frame table; idx[t] are the edge-clamped global
     row indices whose concatenation is the spliced frame t
     (data/splice.py semantics). Feats/alignment lengths may drift by an
     edge frame or two (decode trims to true length); tolerate <=2, fail
-    beyond."""
+    beyond. ``utt_stride`` keeps every k-th utterance (whole utterances,
+    so splice windows stay intact) — used to bound the classifier's
+    train-table HBM footprint at 20 h corpus scale."""
     bases, idxs, ys, slices, pos = [], [], [], {}, 0
     offsets = np.arange(-context, context + 1)
-    for utt in scp.utt_ids:
+    for i, utt in enumerate(scp.utt_ids):
+        if i % utt_stride:
+            continue
         if utt not in ali:
             continue
         feats = scp.read_utt(utt)
@@ -114,8 +119,11 @@ class ProxyClassifier:
         self.opt_state = self.tx.init(self.params)
 
         def assemble(base, idx, mean, std, sel):
-            xb = base[idx[sel]]                      # [b, 2c+1, D]
-            xb = xb.reshape(sel.shape[0], -1)
+            # idx is stored TRANSPOSED [2c+1, N]: a [N, 5] int32 table
+            # tile-pads its 5 lanes to 128 (25x HBM waste — 3.5 GB at
+            # 20 h corpus scale); [5, N] keeps N on the lane dim, compact.
+            xb = base[idx[:, sel]]                   # [2c+1, b, D]
+            xb = jnp.swapaxes(xb, 0, 1).reshape(sel.shape[0], -1)
             return (xb - mean) / std
 
         def logits_fn(p, xb):
@@ -198,6 +206,10 @@ def main(argv=None) -> int:
                         "(classifier sanity ceiling, reported as 'clean')")
     p.add_argument("--context", type=int, default=2,
                    help="splice context each side (input dim x(2c+1))")
+    p.add_argument("--max_train_frames", type=int, default=2_500_000,
+                   help="bound the train table via utterance striding "
+                        "(f32 base must fit HBM next to the idx table; "
+                        "2.5M frames x 257 ~= 3.8 GB padded)")
     p.add_argument("--hidden", type=int, default=192)
     p.add_argument("--epochs", type=int, default=4)
     p.add_argument("--batch", type=int, default=4096)
@@ -209,8 +221,15 @@ def main(argv=None) -> int:
     from rsrgan_tpu.sim.synthwav import NUM_PHONES
 
     ali = read_alignments(args.ali_scp)
-    base, idx, y, _ = load_corpus(ScpReader(args.train_scp), ali,
-                                  args.context)
+    tr_scp = ScpReader(args.train_scp)
+    total = sum(len(ali[u]) for u in tr_scp.utt_ids if u in ali)
+    stride = max(1, -(-total // args.max_train_frames))
+    if stride > 1:
+        print(f"proxy classifier: {total} frames available; keeping every "
+              f"{stride}th utterance (--max_train_frames "
+              f"{args.max_train_frames})", flush=True)
+    base, idx, y, _ = load_corpus(tr_scp, ali, args.context,
+                                  utt_stride=stride)
     n, d = base.shape
     splice_n = 2 * args.context + 1
     # per-dim stats of the base table, tiled across splice columns (each
@@ -223,7 +242,8 @@ def main(argv=None) -> int:
     clf = ProxyClassifier(d * splice_n, NUM_PHONES, args.hidden, args.lr,
                           args.seed)
     import jax
-    base_d, idx_d, y_d = (jax.device_put(base), jax.device_put(idx),
+    base_d, idx_d, y_d = (jax.device_put(base),
+                          jax.device_put(np.ascontiguousarray(idx.T)),
                           jax.device_put(y))
     mean_d, std_d = jax.device_put(mean), jax.device_put(std)
     clf.fit(base_d, idx_d, y_d, n, args.epochs, args.batch, args.seed + 1,
@@ -247,7 +267,8 @@ def main(argv=None) -> int:
     for name, scp_path in systems:
         b, ix, ye, slices = load_corpus(ScpReader(scp_path), ali,
                                         args.context)
-        preds = clf.predict_all(jax.device_put(b), jax.device_put(ix),
+        preds = clf.predict_all(jax.device_put(b),
+                                jax.device_put(np.ascontiguousarray(ix.T)),
                                 b.shape[0], args.batch, mean_d, std_d)
         fer = float(np.mean(preds != ye))
         seg_err, seg_tot = segment_error_rate(preds, ye, slices)
