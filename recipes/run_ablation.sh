@@ -51,6 +51,22 @@ train_dir=$workdir/data/train
 # under host contention and wedge the tunnel server-side)
 handoff=${TPU_HANDOFF_SLEEP:-15}
 
+
+tpu_retry() {  # run a TPU CLI; on failure, probe the tunnel back to
+  # health and retry ONCE (handoff stalls wedge ~once per hour of
+  # handoffs on this host — CLAUDE.md "Machine quirks")
+  "$@" && return 0
+  local rc=$?
+  echo "[tpu_retry] exit $rc — probing tunnel before one retry" >&2
+  for i in $(seq 1 12); do
+    sleep 45
+    timeout 75 python -c "import jax.numpy as jnp; print(float(jnp.ones(())+1))" \
+      >/dev/null 2>&1 && break
+  done
+  sleep 30
+  "$@"
+}
+
 gan_sys() {  # gan_sys WEIGHT SEED -> system name
   if [ "$1" = "10" ] && [ "$2" = "$first_seed" ]; then echo gan
   else echo "gan_w$1_s$2"; fi
@@ -140,11 +156,12 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   for s in $seeds; do for w in $weights; do
     gan_combo_skip $w $s && continue
     name=$(gan_sys $w $s); dir=$(sys_dir $name)
+    [ -f "$dir/DONE" ] && { echo "-- GAN system $name already done --"; continue; }
     echo "-- GAN system $name (mse_weight=$w seed=$s) --"
     for cfg in "0.001 1 1" "0.0003 $gmin $gmax"; do
       set -- $cfg
       sleep $handoff
-      python -m rsrgan_tpu.cli.train \
+      tpu_retry python -m rsrgan_tpu.cli.train \
         --trainer=gan_rnn $common_flags \
         --save_dir=$dir --seed=$s \
         --g_learning_rate=0.00008 --d_learning_rate=$1 \
@@ -152,6 +169,7 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
         --init_mse_weight=$w --init_disc_noise_std=0.05 \
         --min_epoches=$2 --max_epoches=$3
     done
+    touch "$dir/DONE"
   done; done
 fi
 
@@ -160,13 +178,15 @@ if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
   set -- $mse_epochs; mmin=$1; mmax=$2
   for s in $seeds; do
     name=$(mse_sys $s); dir=$(sys_dir $name)
+    [ -f "$dir/DONE" ] && { echo "-- MSE system $name already done --"; continue; }
     echo "-- MSE system $name (seed=$s) --"
     sleep $handoff
-    python -m rsrgan_tpu.cli.train \
+    tpu_retry python -m rsrgan_tpu.cli.train \
       --trainer=rnn $common_flags \
       --save_dir=$dir --seed=$s \
       --g_learning_rate=0.0003 \
       --min_epoches=$mmin --max_epoches=$mmax
+    touch "$dir/DONE"
   done
 fi
 
@@ -184,7 +204,7 @@ if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
   echo "== stage 6: decode the held-out set with every system =="
   all_systems | while read -r name trainer dir; do
     sleep $handoff
-    python -m rsrgan_tpu.cli.train \
+    tpu_retry python -m rsrgan_tpu.cli.train \
       --decode --trainer=$trainer --g_type=res_lstm_l \
       --data_dir=$train_dir --test_list_file=$train_dir/test.list \
       --save_dir=$dir \
@@ -227,7 +247,7 @@ if [ "$stage" -le 7 ] && [ "$stop_stage" -ge 7 ]; then
     proxy_evals="$proxy_evals --eval $name=$dir/test/feats.scp"
   done < <(all_systems)
   sleep $handoff
-  python tools/proxy_asr.py \
+  tpu_retry python tools/proxy_asr.py \
     --train_scp=$train_dir/tr/labels.scp \
     --ali_scp=$workdir/sim/ali.scp \
     --holdout_scp=$train_dir/cv/labels.scp \

@@ -25,6 +25,22 @@ seeds=${SEEDS:-777}
 first_seed=$(set -- $seeds; echo "$1")
 handoff=${TPU_HANDOFF_SLEEP:-15}
 train_dir=$workdir/data/train
+
+tpu_retry() {  # run a TPU CLI; on failure, probe the tunnel back to
+  # health and retry ONCE (handoff stalls wedge ~once per hour of
+  # handoffs on this host — CLAUDE.md "Machine quirks")
+  "$@" && return 0
+  local rc=$?
+  echo "[tpu_retry] exit $rc — probing tunnel before one retry" >&2
+  for i in $(seq 1 12); do
+    sleep 45
+    timeout 75 python -c "import jax.numpy as jnp; print(float(jnp.ones(())+1))" \
+      >/dev/null 2>&1 && break
+  done
+  sleep 30
+  "$@"
+}
+
 gan_sys() { if [ "$1" = "$first_seed" ]; then echo gan; else echo "gan_s$1"; fi; }
 mse_sys() { if [ "$1" = "$first_seed" ]; then echo mse; else echo "mse_s$1"; fi; }
 sys_dir() { echo "$workdir/exp/$1_res_lstm_l"; }
@@ -91,7 +107,7 @@ if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
     for cfg in "0.001 1 1" "0.0003 $gmin $gmax"; do
       set -- $cfg
       sleep $handoff
-      python -m rsrgan_tpu.cli.train \
+      tpu_retry python -m rsrgan_tpu.cli.train \
         --trainer=gan_rnn $common_flags \
         --save_dir=$dir --seed=$s \
         --g_learning_rate=0.00008 --d_learning_rate=$1 \
@@ -109,7 +125,7 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
     dir=$(sys_dir $(mse_sys $s))
     echo "-- MSE system $(mse_sys $s) (seed=$s) --"
     sleep $handoff
-    python -m rsrgan_tpu.cli.train \
+    tpu_retry python -m rsrgan_tpu.cli.train \
       --trainer=rnn $common_flags \
       --save_dir=$dir --seed=$s \
       --g_learning_rate=0.0003 \
@@ -121,7 +137,7 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
   echo "== stage 4: decode the held-out set with every system =="
   all_systems | while read -r name trainer dir; do
     sleep $handoff
-    python -m rsrgan_tpu.cli.train \
+    tpu_retry python -m rsrgan_tpu.cli.train \
       --decode --trainer=$trainer --g_type=res_lstm_l \
       --data_dir=$train_dir --test_list_file=$train_dir/test.list \
       --save_dir=$dir \
@@ -149,7 +165,7 @@ if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
     proxy_evals="$proxy_evals --eval $name=$dir/test/feats.scp"
   done < <(all_systems)
   sleep $handoff
-  python tools/proxy_asr.py \
+  tpu_retry python tools/proxy_asr.py \
     --train_scp=$train_dir/tr/labels.scp \
     --ali_scp=$sim_dir/ali.scp \
     --holdout_scp=$train_dir/cv/labels.scp \

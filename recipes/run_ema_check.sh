@@ -25,11 +25,27 @@ train_dir=$lps_workdir/data/train
 exp_dir=$workdir/exp/gan_ema
 lstm_impl=${LSTM_IMPL:-wavefront}
 
+
+tpu_retry() {  # run a TPU CLI; on failure, probe the tunnel back to
+  # health and retry ONCE (handoff stalls wedge ~once per hour of
+  # handoffs on this host — CLAUDE.md "Machine quirks")
+  "$@" && return 0
+  local rc=$?
+  echo "[tpu_retry] exit $rc — probing tunnel before one retry" >&2
+  for i in $(seq 1 12); do
+    sleep 45
+    timeout 75 python -c "import jax.numpy as jnp; print(float(jnp.ones(())+1))" \
+      >/dev/null 2>&1 && break
+  done
+  sleep 30
+  "$@"
+}
+
 if [ "$stage" -le 0 ] && [ "$stop_stage" -ge 0 ]; then
   rm -rf "$workdir" && mkdir -p "$workdir"
   echo "== stage 0: train flagship LSGAN for $iters iterations =="
   sleep 15
-  python -m rsrgan_tpu.cli.train \
+  tpu_retry python -m rsrgan_tpu.cli.train \
     --trainer=gan_rnn --g_type=res_lstm_l --data_dir=$train_dir \
     --tr_list_file=$train_dir/tr.list --cv_list_file=$train_dir/cv.list \
     --input_dim=257 --output_dim=257 --batch_size=8 \
@@ -47,7 +63,7 @@ if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
   for cfg in "raw false" "ema true"; do
     set -- $cfg
     sleep 15
-    python -m rsrgan_tpu.cli.train \
+    tpu_retry python -m rsrgan_tpu.cli.train \
       --decode --trainer=gan_rnn --g_type=res_lstm_l \
       --data_dir=$train_dir --test_list_file=$train_dir/test.list \
       --save_dir=$exp_dir --moving_average=$2 \
