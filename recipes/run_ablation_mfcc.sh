@@ -103,6 +103,7 @@ if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
   set -- $gan_epochs; gmin=$1; gmax=$2
   for s in $seeds; do
     dir=$(sys_dir $(gan_sys $s))
+    [ -f "$dir/DONE" ] && { echo "-- GAN system $(gan_sys $s) already done --"; continue; }
     echo "-- GAN system $(gan_sys $s) (seed=$s) --"
     for cfg in "0.001 1 1" "0.0003 $gmin $gmax"; do
       set -- $cfg
@@ -115,6 +116,7 @@ if [ "$stage" -le 2 ] && [ "$stop_stage" -ge 2 ]; then
         --init_mse_weight=10.0 --init_disc_noise_std=0.05 \
         --min_epoches=$2 --max_epoches=$3
     done
+    touch "$dir/DONE"
   done
 fi
 
@@ -123,6 +125,7 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
   set -- $mse_epochs; mmin=$1; mmax=$2
   for s in $seeds; do
     dir=$(sys_dir $(mse_sys $s))
+    [ -f "$dir/DONE" ] && { echo "-- MSE system $(mse_sys $s) already done --"; continue; }
     echo "-- MSE system $(mse_sys $s) (seed=$s) --"
     sleep $handoff
     tpu_retry python -m rsrgan_tpu.cli.train \
@@ -130,6 +133,7 @@ if [ "$stage" -le 3 ] && [ "$stop_stage" -ge 3 ]; then
       --save_dir=$dir --seed=$s \
       --g_learning_rate=0.0003 \
       --min_epoches=$mmin --max_epoches=$mmax
+    touch "$dir/DONE"
   done
 fi
 
