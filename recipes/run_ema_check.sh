@@ -70,6 +70,8 @@ if [ "$stage" -le 1 ] && [ "$stop_stage" -ge 1 ]; then
       --input_dim=257 --output_dim=257 --batch_size=1 \
       --decode_batch_size=8 --lstm_impl=$lstm_impl
     mv $exp_dir/test $exp_dir/test_$1
+    # feats.scp carries absolute ark offsets into the pre-rename dir
+    sed -i "s|$exp_dir/test/|$exp_dir/test_$1/|" $exp_dir/test_$1/feats.scp
   done
 fi
 

@@ -92,3 +92,45 @@ def test_missing_wav_scores_render_as_dash(tmp_path):
     assert "—" in md          # wav columns unresolved
     assert "| no enhancement | 2.0000 |" in md
     assert rc == 1            # ESTOI gate unsatisfiable without wav scores
+
+
+def test_feats_only_with_disabled_estoi_gate_passes(tmp_path, monkeypatch):
+    """The MFCC config (recipes/run_ablation_mfcc.sh stage 6) scores
+    features only — no resynthesis is possible — and disables the ESTOI
+    gate with ABLATION_MIN_ESTOI_DELTA=-1. That must pass, not trip the
+    gate's missing-metric default (regression: -1.0 <= -1.0 fired)."""
+    w = _make_workdir(tmp_path)
+    import os
+    for s in ("noisy", "mse", "gan"):
+        os.remove(f"{w}/wav_{s}.jsonl")
+    monkeypatch.setenv("ABLATION_MIN_ESTOI_DELTA", "-1")
+    monkeypatch.setenv("ABLATION_MAX_LSD_RATIO", "0.9")
+    assert ablation_table.main(_args(w)) == 0
+
+
+def test_sweep_extras_and_aggregates(tmp_path, capsys):
+    """Sweep rows (--extra) and seed-variance rows (--aggregate) render
+    with mean ± half-range, as stage 8 invokes them for SEEDS/MSE_WEIGHTS
+    grids."""
+    w = _make_workdir(tmp_path)
+    _write_jsonl(f"{w}/feats_gan_s778.jsonl",
+                 [{"utt_id": f"u{i}", "lsd_db": 8.0, "mse": 0.5,
+                   "gv_ratio": 0.95} for i in range(10)])
+    _write_jsonl(f"{w}/wav_gan_s778.jsonl",
+                 [{"utt_id": f"u{i}", "snr_db": 5.0, "si_snr_db": 4.0,
+                   "seg_snr_db": 3.0, "stoi": 0.64, "estoi": 0.6}
+                  for i in range(10)])
+    rc = ablation_table.main(_args(w) + [
+        "--extra=gan_s778:LSGAN(seed=778)",
+        "--aggregate=LSGAN mean±spread (2 seeds):gan,gan_s778"])
+    assert rc == 0
+    md = open(f"{w}/ablation.md").read()
+    assert "LSGAN(seed=778)" in md
+    assert "±" in md
+    data = json.load(open(f"{w}/ablation.json"))
+    agg = data["systems"]["agg:LSGAN mean±spread (2 seeds)"]
+    spread = data["systems"]["agg:LSGAN mean±spread (2 seeds):spread"]
+    assert agg["lsd_db"] == pytest.approx(
+        (data["systems"]["gan"]["lsd_db"]
+         + data["systems"]["gan_s778"]["lsd_db"]) / 2, abs=1e-9)
+    assert spread["lsd_db"] >= 0

@@ -159,8 +159,17 @@ def main(argv=None) -> int:
         print(f"FAIL: GAN LSD ratio {derived.get('gan_lsd_ratio')} >= "
               f"{max_ratio}", file=sys.stderr)
         ok = False
-    if derived.get("gan_estoi_delta", -1.0) <= min_delta:
-        print(f"FAIL: GAN ESTOI delta {derived.get('gan_estoi_delta')} <= "
+    estoi_delta = derived.get("gan_estoi_delta")
+    if estoi_delta is None:
+        # feature-only runs (e.g. the MFCC config, not resynthesizable)
+        # disable this gate with a <=0 threshold; a positive threshold
+        # demands the metric exist
+        if min_delta > 0:
+            print(f"FAIL: ESTOI gate set ({min_delta}) but no ESTOI "
+                  f"scores found", file=sys.stderr)
+            ok = False
+    elif estoi_delta <= min_delta:
+        print(f"FAIL: GAN ESTOI delta {estoi_delta} <= "
               f"{min_delta}", file=sys.stderr)
         ok = False
     if ok:
