@@ -77,7 +77,11 @@ def wire_dtype_for(dtype) -> np.dtype:
     moves half the f32 bytes, and the on-device f16->bf16 cast is free.
     Features are CMVN-normalized z-scores (|x| < ~40), far inside f16
     range, and the f16 mantissa (10 bits) is wider than bf16's (7), so
-    the table contents stay within the bf16-quantization contract.
+    f32->f16->bf16 lands within 1 bf16 ulp of the direct f32->bf16
+    quantization (exact except double rounding on values within an f16
+    half-ulp of a bf16 rounding midpoint — tests/test_device_feed.py
+    TestWireDtype pins the bound; the bf16 table is a lossy opt-in
+    already, so a terminal-bit difference is inside its contract).
     float32 tables ship as float32 — they are the exactness path.
     Override with RSRGAN_FEED_WIRE_DTYPE={float32,float16,bfloat16}.
     """

@@ -104,6 +104,51 @@ class TestGatherParity:
                                       np.asarray(many.inputs_tbl))
 
 
+class TestWireDtype:
+    def test_f16_wire_within_one_bf16_ulp(self):
+        """bf16 tables ship f32->f16 on the wire, then cast to bf16 on
+        device (device_feed.wire_dtype_for). Double rounding can flip the
+        terminal bf16 bit on values within an f16 half-ulp of a bf16
+        rounding midpoint; pin that the wire path never strays more than
+        1 bf16 ulp from direct f32->bf16 — including adversarial values
+        seeded AT bf16 midpoints, where the divergence concentrates."""
+        rng = np.random.default_rng(3)
+        vals = rng.normal(size=4096).astype(np.float32) * 8
+        # adversarial: exact bf16 midpoints +- a tiny f32 perturbation
+        base = rng.normal(size=4096).astype(np.float32)
+        as_bf16 = base.astype(jnp.bfloat16.dtype)
+        ulp = np.abs(
+            np.nextafter(as_bf16.astype(np.float32), np.inf)
+            - as_bf16.astype(np.float32))
+        mid = as_bf16.astype(np.float32) + 0.5 * ulp
+        eps = np.float32(1e-4) * ulp
+        vals = np.concatenate([vals, mid - eps, mid, mid + eps])
+
+        direct = vals.astype(jnp.bfloat16.dtype)
+        wired = vals.astype(np.float16).astype(jnp.bfloat16.dtype)
+        # bf16 neighbors of the direct quantization (jnp.nextafter
+        # supports bfloat16; numpy's does not)
+        lo = np.asarray(jnp.nextafter(direct, jnp.bfloat16(-np.inf)),
+                        np.float32)
+        hi = np.asarray(jnp.nextafter(direct, jnp.bfloat16(np.inf)),
+                        np.float32)
+        w = wired.astype(np.float32)
+        ok = (lo <= w) & (w <= hi)
+        assert ok.all(), (
+            f"f16 wire drifted >1 bf16 ulp from direct quantization on "
+            f"{(~ok).sum()} of {ok.size} values")
+
+    def test_env_override_forces_f32_wire(self, store, monkeypatch):
+        """RSRGAN_FEED_WIRE_DTYPE=float32 makes the bf16 table EXACTLY
+        the direct f32->bf16 quantization (no double rounding)."""
+        monkeypatch.setenv("RSRGAN_FEED_WIRE_DTYPE", "float32")
+        feed = DeviceFeed(store, dtype=jnp.bfloat16)
+        got = np.asarray(feed.inputs_tbl[:3, :D_IN].astype(jnp.float32))
+        want = store.inputs(0)[:3].astype(jnp.bfloat16.dtype) \
+            .astype(np.float32)
+        np.testing.assert_array_equal(got, want)
+
+
 def stack_plans(feed, plans):
     starts = np.stack([feed.plan(p)[0] for p in plans])
     lens = np.stack([feed.plan(p)[1] for p in plans])
