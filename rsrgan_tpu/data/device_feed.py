@@ -88,7 +88,15 @@ def wire_dtype_for(dtype) -> np.dtype:
     import os
     env = os.environ.get("RSRGAN_FEED_WIRE_DTYPE")
     if env:
-        return jnp.dtype(env)
+        wire = jnp.dtype(env)
+        if wire.itemsize < jnp.dtype(dtype).itemsize:
+            # e.g. float16 wire under float32 tables: the f32 path is the
+            # exactness contract, so a lossy override must be visible
+            import sys
+            print(f"[device_feed] WARNING: RSRGAN_FEED_WIRE_DTYPE={env} is "
+                  f"narrower than the {jnp.dtype(dtype).name} tables — "
+                  "host->device transfer is LOSSY", file=sys.stderr)
+        return wire
     return np.dtype(np.float16) if jnp.dtype(dtype) == jnp.bfloat16 \
         else jnp.dtype(dtype)
 
@@ -108,21 +116,45 @@ def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
     cast = jnp.dtype(wire) != jnp.dtype(dtype)
     written, buf, buf_rows = 0, [], 0
 
-    def flush():
-        nonlocal table, written, buf, buf_rows
-        chunk = jax.device_put(np.concatenate(buf).astype(wire))
+    def put(block: np.ndarray) -> None:
+        nonlocal table, written
+        chunk = jax.device_put(block.astype(wire, copy=False))
         table = _write_chunk(table, chunk, jnp.int32(written), cast)
-        written += buf_rows
-        buf, buf_rows = [], 0
+        written += block.shape[0]
+
+    def drain(tail: bool) -> None:
+        # Emit blocks of EXACTLY rows_per_chunk (carrying the remainder)
+        # so every non-tail _write_chunk shares one compiled shape —
+        # utterance boundaries would otherwise make each chunk's row count
+        # unique, costing one slow axon remote compile per chunk with no
+        # persistent-cache reuse across corpora.
+        nonlocal buf, buf_rows
+        pending = np.concatenate(buf) if len(buf) > 1 else buf[0]
+        off = 0
+        while pending.shape[0] - off >= rows_per_chunk:
+            put(pending[off:off + rows_per_chunk])
+            off += rows_per_chunk
+        if tail and off < pending.shape[0]:
+            put(pending[off:])
+            off = pending.shape[0]
+        buf_rows = pending.shape[0] - off
+        buf = [pending[off:]] if buf_rows else []
 
     for i in range(n_utts):
         m = np.asarray(row_fn(i))
         buf.append(m)
         buf_rows += m.shape[0]
         if buf_rows >= rows_per_chunk:
-            flush()
+            drain(tail=False)
     if buf:
-        flush()
+        drain(tail=True)
+    if written != total_rows:
+        # dynamic_update_slice CLAMPS out-of-range starts, so a
+        # lengths-vs-rows desync would silently corrupt the table (and
+        # possibly the all-zero pad row gather_sequences relies on)
+        raise ValueError(
+            f"store desync: uploaded {written} rows but the store index "
+            f"promised {total_rows}")
     return table
 
 

@@ -162,9 +162,10 @@ def main(argv=None) -> int:
     estoi_delta = derived.get("gan_estoi_delta")
     if estoi_delta is None:
         # feature-only runs (e.g. the MFCC config, not resynthesizable)
-        # disable this gate with a <=0 threshold; a positive threshold
+        # disable this gate with an explicit NEGATIVE sentinel; any
+        # threshold >= 0 (including 0 = "GAN must not lose to noisy")
         # demands the metric exist
-        if min_delta > 0:
+        if min_delta >= 0:
             print(f"FAIL: ESTOI gate set ({min_delta}) but no ESTOI "
                   f"scores found", file=sys.stderr)
             ok = False
