@@ -26,6 +26,7 @@ import json
 import os
 import sys
 import time
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -262,22 +263,31 @@ def _avg_weighted(accum: list) -> dict:
             for i, k in enumerate(keys)}
 
 
-def decide_device_feed(args, tr_store, cv_store, mesh, pcount):
-    """Resolve --device_feed/--device_feed_dtype to a table dtype or None.
+class FeedPlan(NamedTuple):
+    """Resolved device-feed configuration (decide_device_feed)."""
+    dtype: Any
+    rotate: bool
+    budget: int
 
-    The gathered path covers the single-process, single-device sequence
-    trainers (the flagship config); meshes/multi-host and the graph-fed
-    GAN variant keep the host feed.
+
+def decide_device_feed(args, tr_store, cv_store, mesh, pcount):
+    """Resolve --device_feed/--device_feed_dtype to a FeedPlan or None.
+
+    The gathered path covers the single-process sequence trainers —
+    single-device AND mesh runs (tables replicate over the mesh, batch
+    plans shard over the data axis); multi-host and the graph-fed GAN
+    variant keep the host feed. Corpora whose tables exceed the HBM
+    budget rotate resident shards (RotatingDeviceFeed) instead of
+    falling back to the host feed.
     """
     from rsrgan_tpu.data.device_feed import table_bytes
     if args.device_feed == "off":
         return None
-    eligible = (args.trainer in ("gan_rnn", "rnn") and mesh is None
-                and pcount == 1
+    eligible = (args.trainer in ("gan_rnn", "rnn") and pcount == 1
                 and (args.trainer != "gan_rnn" or args.same_batch))
     if not eligible:
         if args.device_feed == "on":
-            log("NOTE: --device_feed=on ignored (mesh/multi-host/graph-fed "
+            log("NOTE: --device_feed=on ignored (multi-host/graph-fed "
                 "runs use the host feed)")
         return None
     if args.device_feed == "auto" and jax.default_backend() != "tpu":
@@ -286,21 +296,27 @@ def decide_device_feed(args, tr_store, cv_store, mesh, pcount):
     # 11.5 GB of the chip's 15.75 GB leaves ~4 GB for params/opt + the
     # B=8..16 step working set (round-4 phase-A OOM dump: step temps
     # without the since-removed table relayout copies were < 1.5 GB).
+    # Under a mesh the tables are replicated, so the budget is per device.
     budget = float(os.environ.get("RSRGAN_FEED_HBM_BUDGET", 11.5e9))
     f32_bytes = table_bytes(tr_store, 4) + table_bytes(cv_store, 4)
     if args.device_feed_dtype == "float32":
-        return jnp.float32
-    if args.device_feed_dtype == "bfloat16":
-        return jnp.bfloat16
-    if f32_bytes <= budget:
-        return jnp.float32
-    if f32_bytes / 2 <= budget:
+        dtype = jnp.float32
+    elif args.device_feed_dtype == "bfloat16":
+        dtype = jnp.bfloat16
+    elif f32_bytes <= budget:
+        dtype = jnp.float32
+    else:
         log(f"[*] device feed: f32 tables ({f32_bytes / 1e9:.1f} GB) exceed "
             f"the HBM budget ({budget / 1e9:.1f} GB); using bfloat16 tables")
-        return jnp.bfloat16
-    log(f"[*] device feed disabled: tables ({f32_bytes / 1e9:.1f} GB f32) "
-        f"exceed the HBM budget even in bfloat16")
-    return None
+        dtype = jnp.bfloat16
+    itemsize = jnp.dtype(dtype).itemsize
+    need = table_bytes(tr_store, itemsize) + table_bytes(cv_store, itemsize)
+    rotate = need > budget
+    if rotate:
+        log(f"[*] device feed: {jnp.dtype(dtype).name} tables "
+            f"({need / 1e9:.1f} GB) exceed the HBM budget "
+            f"({budget / 1e9:.1f} GB); rotating resident shards")
+    return FeedPlan(dtype, rotate, int(budget))
 
 
 def show_all_variables(state) -> None:
@@ -410,18 +426,60 @@ def run_sequence_training(args) -> int:
 
     steps_per_call = max(1, args.steps_per_call)
 
-    feed_dtype = decide_device_feed(args, tr_store, cv_store, mesh, pcount)
+    feed_plan = decide_device_feed(args, tr_store, cv_store, mesh, pcount)
     feed_tr = feed_cv = None
-    if feed_dtype is not None:
-        from rsrgan_tpu.data.device_feed import DeviceFeed
+    rotating = False
+    shard_batchers = visits = None
+    if feed_plan is not None:
+        from rsrgan_tpu.data.device_feed import (DeviceFeed,
+                                                 RotatingDeviceFeed,
+                                                 table_bytes)
         t0 = time.monotonic()
-        feed_tr = DeviceFeed(tr_store, dtype=feed_dtype)
-        feed_cv = DeviceFeed(cv_store, dtype=feed_dtype)
-        log(f"[*] device feed: {(feed_tr.num_bytes + feed_cv.num_bytes) / 1e9:.2f} GB "
-            f"resident ({jnp.dtype(feed_dtype).name} tables) uploaded in "
-            f"{time.monotonic() - t0:.1f} s")
+        feed_cv = DeviceFeed(cv_store, dtype=feed_plan.dtype, mesh=mesh)
+        if feed_plan.rotate:
+            from rsrgan_tpu.data.store import StoreView
+            itemsize = jnp.dtype(feed_plan.dtype).itemsize
+            tr_budget = feed_plan.budget - table_bytes(cv_store, itemsize)
+            feed_tr = RotatingDeviceFeed(
+                tr_store, feed_plan.dtype, tr_budget, mesh=mesh,
+                seed=args.seed, prefetch=args.feed_prefetch)
+            rotating = True
+            shard_batchers = [make_batcher(StoreView(tr_store, s), True)
+                              for s in feed_tr.shards]
+            visits = feed_tr.schedule(max_iters, args.feed_rotation_block,
+                                      seed=args.seed)
+            tr_num_batch = sum(b.num_batches() for b in shard_batchers)
+            log(f"[*] device feed: rotating {feed_tr.num_shards} shards "
+                f"(<= {feed_tr.max_rows} frames each, "
+                f"{feed_tr.num_bytes / 1e9:.2f} GB of "
+                f"{jnp.dtype(feed_plan.dtype).name} buffers), "
+                f"{len(visits)} residencies x "
+                f"<= {args.feed_rotation_block} passes"
+                f"{', async prefetch' if args.feed_prefetch else ''}")
+        else:
+            feed_tr = DeviceFeed(tr_store, dtype=feed_plan.dtype, mesh=mesh)
+            log(f"[*] device feed: "
+                f"{(feed_tr.num_bytes + feed_cv.num_bytes) / 1e9:.2f} GB "
+                f"resident ({jnp.dtype(feed_plan.dtype).name} tables) "
+                f"uploaded in {time.monotonic() - t0:.1f} s")
 
-    for iteration in range(max_iters):
+    # Rotation redefines one loop iteration as a shard RESIDENCY (block
+    # passes over one shard); schedules and stop conditions then advance
+    # by effective epochs = completed passes / num_shards, so lr decay and
+    # min/max-epoch semantics stay in corpus-epoch units.
+    n_iterations = len(visits) if rotating else max_iters
+    min_stop_iters = min_iters
+    if rotating:
+        cum = 0
+        min_stop_iters = n_iterations
+        for i, (_, p) in enumerate(visits):
+            cum += p
+            if cum >= min_iters * feed_tr.num_shards:
+                min_stop_iters = i + 1
+                break
+    eff_epoch = 0.0
+
+    for iteration in range(n_iterations):
         if iteration == 1:
             profiler.start()   # capture the steady-state second iteration
         start = datetime.datetime.now()
@@ -469,13 +527,22 @@ def run_sequence_training(args) -> int:
             tr_accum.append((m, len(batches)))
             snapper.maybe(state)
 
+        def place_plans(starts, lens):
+            """[S, B] int32 plans -> device: batch axis (1) sharded over
+            the data mesh (each DP replica gathers its rows from its
+            replicated table copy), plain arrays single-device."""
+            if mesh is not None:
+                return shard_batch(mesh, (jnp.asarray(starts),
+                                          jnp.asarray(lens)), axis=1)
+            return jnp.asarray(starts), jnp.asarray(lens)
+
         def run_gathered(t_pad, plans):
             """Dispatch a group of same-shape batch PLANS; features are
             assembled on device from the resident tables."""
             nonlocal state, step_rng
             step_rng, sub = jax.random.split(step_rng)
-            starts = jnp.asarray(np.stack([p[0] for p in plans]))
-            lens = jnp.asarray(np.stack([p[1] for p in plans]))
+            starts, lens = place_plans(np.stack([p[0] for p in plans]),
+                                       np.stack([p[1] for p in plans]))
             lr_or_hp = hp if is_gan else hp["g_lr"]
             state, m = trainer.train_multi_step_gathered(
                 state, feed_tr.inputs_tbl, feed_tr.labels_tbl, starts,
@@ -492,14 +559,25 @@ def run_sequence_training(args) -> int:
 
         if feed_tr is not None:
             pending = {}
-            for indices in tr_batches.iter_index_batches():
-                st, le = feed_tr.plan(indices)
-                true_frames += int(le.sum())
-                t_pad = plan_shape(tr_batches, le)
-                key = (t_pad, len(indices))
-                pending.setdefault(key, []).append((st, le))
-                if len(pending[key]) == steps_per_call:
-                    run_gathered(t_pad, pending.pop(key))
+            if rotating:
+                shard_k, n_passes = visits[iteration]
+                feed_tr.ensure_resident(shard_k)
+                if args.feed_prefetch and iteration + 1 < len(visits):
+                    feed_tr.start_prefetch(visits[iteration + 1][0])
+                streams = [shard_batchers[shard_k]] * n_passes
+                eff_epoch += n_passes / feed_tr.num_shards
+            else:
+                streams = [tr_batches]
+                eff_epoch += 1.0
+            for stream in streams:
+                for indices in stream.iter_index_batches():
+                    st, le = feed_tr.plan(indices)
+                    true_frames += int(le.sum())
+                    t_pad = plan_shape(stream, le)
+                    key = (t_pad, len(indices))
+                    pending.setdefault(key, []).append((st, le))
+                    if len(pending[key]) == steps_per_call:
+                        run_gathered(t_pad, pending.pop(key))
             for (t_pad, _), plans in pending.items():
                 for p in plans:  # leftovers: S=1 calls, no per-size compiles
                     run_gathered(t_pad, [p])
@@ -554,8 +632,8 @@ def run_sequence_training(args) -> int:
 
             def run_eval(t_pad, plans):
                 nonlocal step_rng
-                starts = jnp.asarray(np.stack([p[0] for p in plans]))
-                lens = jnp.asarray(np.stack([p[1] for p in plans]))
+                starts, lens = place_plans(np.stack([p[0] for p in plans]),
+                                           np.stack([p[1] for p in plans]))
                 if is_gan:
                     step_rng, sub = jax.random.split(step_rng)
                     m = trainer.eval_multi_step_gathered(
@@ -599,28 +677,36 @@ def run_sequence_training(args) -> int:
             return 2
         took = (datetime.datetime.now() - start).total_seconds()
         fps = true_frames / max(train_secs, 1e-9)
-        log(f"{iteration + 1}/{max_iters} (INFO): d_learning_rate = "
+        rot_note = ""
+        if rotating:
+            rot_note = (f" [shard {visits[iteration][0]} x "
+                        f"{visits[iteration][1]} passes, epoch "
+                        f"{eff_epoch:.2f}, uploads {feed_tr.uploads} "
+                        f"({feed_tr.upload_secs:.0f} s total)]")
+        log(f"{iteration + 1}/{n_iterations} (INFO): d_learning_rate = "
             f"{float(hp['d_lr']):.5e}, g_learning_rate = "
             f"{float(hp['g_lr']):.5e}, time = {took / 3600.0:.3f} h\n"
-            f"{iteration + 1}/{max_iters} (SPEED): train_frames_per_sec = "
-            f"{fps:.0f} (true frames through the cli/train loop, "
-            f"{train_secs:.1f} s train section)\n"
-            f"{iteration + 1}/{max_iters} (TRAIN AVG.LOSS): "
+            f"{iteration + 1}/{n_iterations} (SPEED): train_frames_per_sec "
+            f"= {fps:.0f} (true frames through the cli/train loop, "
+            f"{train_secs:.1f} s train section){rot_note}\n"
+            f"{iteration + 1}/{n_iterations} (TRAIN AVG.LOSS): "
             f"{_fmt(tr_m, metric_keys)}\n"
-            f"{iteration + 1}/{max_iters} (CROSS AVG.LOSS): "
+            f"{iteration + 1}/{n_iterations} (CROSS AVG.LOSS): "
             f"{_fmt(cv_m, metric_keys)}")
         tr_writer.write(iteration + 1,
                         {**tr_m, "train_frames_per_sec": fps})
         cv_writer.write(iteration + 1, cv_m)
         profiler.stop()
 
-        # schedules (train_gan_rnn_placeholder.py:524-533)
+        # schedules (train_gan_rnn_placeholder.py:524-533); under rotation
+        # decay advances by effective corpus epochs, not residencies
+        sched_t = eff_epoch if rotating else iteration + 1
         hp["g_lr"] = jnp.float32(exponential_decay(
-            iteration + 1, num_devices, min_iters, args.g_learning_rate))
+            sched_t, num_devices, min_iters, args.g_learning_rate))
         hp["d_lr"] = jnp.float32(exponential_decay(
-            iteration + 1, num_devices, min_iters, args.d_learning_rate))
+            sched_t, num_devices, min_iters, args.d_learning_rate))
         hp["disc_noise_std"] = jnp.float32(exponential_decay(
-            iteration + 1, num_devices, min_iters,
+            sched_t, num_devices, min_iters,
             args.init_disc_noise_std, multiply_jobs=False))
 
         tracker.add(cv_m["g_loss"])
@@ -632,7 +718,7 @@ def run_sequence_training(args) -> int:
                 f"Save model SUCCESS.")
         else:
             log(f"Iteration {iteration + 1}: Nnet Rejected.")
-        if tracker.should_stop(iteration, min_iters):
+        if tracker.should_stop(iteration, min_stop_iters):
             log(f"Iteration {iteration + 1}: Finished, too small relative "
                 f"G improvement {tracker.rel_impr:g}")
             break
@@ -1041,14 +1127,26 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "on", "off"],
                    help="keep the corpus resident in device HBM and "
                         "assemble batches on device (sequence trainers, "
-                        "single device; ~30x loop speedup through the "
-                        "axon tunnel). auto = on when the backend is TPU "
-                        "and the tables fit $RSRGAN_FEED_HBM_BUDGET")
+                        "single-process; ~30x loop speedup through the "
+                        "axon tunnel; tables replicate over a --num_gpu "
+                        "mesh). auto = on when the backend is TPU; "
+                        "corpora past $RSRGAN_FEED_HBM_BUDGET rotate "
+                        "resident shards")
     p.add_argument("--device_feed_dtype", default="auto",
                    choices=["auto", "float32", "bfloat16"],
                    help="resident table dtype; bfloat16 halves HBM + "
                         "upload time (features quantize, training "
                         "conventions unchanged)")
+    p.add_argument("--feed_rotation_block", type=int, default=1,
+                   help="consecutive passes per shard residency when the "
+                        "device feed rotates (1 = every epoch visits "
+                        "every shard — reference-faithful; larger blocks "
+                        "amortize shard uploads into block-shuffled SGD)")
+    p.add_argument("--feed_prefetch", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="upload the next shard on a background thread "
+                        "while training on the current one (rotation "
+                        "only; doubles shard buffers, halves shard size)")
     p.add_argument("--same_batch", type=str2bool, nargs="?", const=True, default=True,
                    help="True: placeholder-trainer semantics (D and G on "
                         "the same minibatch); False: graph-fed semantics "

@@ -101,24 +101,48 @@ def wire_dtype_for(dtype) -> np.dtype:
         else jnp.dtype(dtype)
 
 
-def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
-                  chunk_bytes: int) -> jnp.ndarray:
-    """All utterances' rows + one trailing zero row as a device array,
-    uploaded in large chunks (the tunnel's per-transfer overhead makes
-    many small puts slower than few big ones) into a preallocated,
-    donation-updated table."""
+def _replicated(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def _make_table(table_rows: int, dim: int, dtype, mesh=None) -> jnp.ndarray:
+    """Zeroed ``[table_rows + 1, pad_dim(dim)]`` device table.
+
+    zeros-init covers the pad row (last index) AND the tile-pad columns
+    (dim..pad_dim) by construction. Under a mesh the table is REPLICATED
+    (every device holds the full corpus slab) so data-parallel replicas
+    gather their batch shard locally with no collectives — the per-step
+    wire cost stays [S, B] int32 plans either way."""
+    if mesh is not None:
+        return jnp.zeros((table_rows + 1, pad_dim(dim)), dtype,
+                         device=_replicated(mesh))
+    return jnp.zeros((table_rows + 1, pad_dim(dim)), dtype)
+
+
+def _fill_table(table: jnp.ndarray, row_fn, indices, total_rows: int,
+                chunk_bytes: int, mesh=None) -> jnp.ndarray:
+    """Write ``indices``' utterance rows into (donated) ``table`` rows
+    ``[0, total_rows)``, uploaded in large chunks (the tunnel's
+    per-transfer overhead makes many small puts slower than few big
+    ones). Rows past ``total_rows`` are left untouched: a shorter shard
+    re-using a longer shard's buffer leaves stale rows there, but plans
+    only ever index ``[0, total_rows)`` plus the (never-written) zero
+    row."""
+    dim = int(np.asarray(row_fn(int(indices[0]))).shape[1]) if len(indices) \
+        else table.shape[1]
     rows_per_chunk = max(1, chunk_bytes // (dim * 4))
-    # zeros-init covers the pad row (index total_rows) AND the tile-pad
-    # columns (dim..pad_dim) by construction; chunks stay compact on the
-    # wire — dynamic_update_slice writes the narrow block in place.
-    table = jnp.zeros((total_rows + 1, pad_dim(dim)), dtype)
+    dtype = table.dtype
     wire = wire_dtype_for(dtype)
     cast = jnp.dtype(wire) != jnp.dtype(dtype)
+    sharding = _replicated(mesh) if mesh is not None else None
     written, buf, buf_rows = 0, [], 0
 
     def put(block: np.ndarray) -> None:
         nonlocal table, written
-        chunk = jax.device_put(block.astype(wire, copy=False))
+        host = block.astype(wire, copy=False)
+        chunk = (jax.device_put(host, sharding) if sharding is not None
+                 else jax.device_put(host))
         table = _write_chunk(table, chunk, jnp.int32(written), cast)
         written += block.shape[0]
 
@@ -127,7 +151,7 @@ def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
         # so every non-tail _write_chunk shares one compiled shape —
         # utterance boundaries would otherwise make each chunk's row count
         # unique, costing one slow axon remote compile per chunk with no
-        # persistent-cache reuse across corpora.
+        # persistent-cache reuse across corpora or rotation cycles.
         nonlocal buf, buf_rows
         pending = np.concatenate(buf) if len(buf) > 1 else buf[0]
         off = 0
@@ -140,8 +164,8 @@ def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
         buf_rows = pending.shape[0] - off
         buf = [pending[off:]] if buf_rows else []
 
-    for i in range(n_utts):
-        m = np.asarray(row_fn(i))
+    for i in indices:
+        m = np.asarray(row_fn(int(i)))
         buf.append(m)
         buf_rows += m.shape[0]
         if buf_rows >= rows_per_chunk:
@@ -158,6 +182,14 @@ def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
     return table
 
 
+def _upload_table(row_fn, n_utts: int, total_rows: int, dim: int, dtype,
+                  chunk_bytes: int, mesh=None) -> jnp.ndarray:
+    """All utterances' rows + one trailing zero row as a device array."""
+    table = _make_table(total_rows, dim, dtype, mesh)
+    return _fill_table(table, row_fn, np.arange(n_utts), total_rows,
+                       chunk_bytes, mesh)
+
+
 class DeviceFeed:
     """Resident (inputs, labels) tables + host-side index plans.
 
@@ -170,7 +202,7 @@ class DeviceFeed:
     """
 
     def __init__(self, store: UtteranceStore, dtype=jnp.float32,
-                 chunk_bytes: int = _DEFAULT_CHUNK_BYTES):
+                 chunk_bytes: int = _DEFAULT_CHUNK_BYTES, mesh=None):
         lens = store.lengths.astype(np.int64)
         total = int(lens.sum())
         if total + 1 > np.iinfo(np.int32).max:
@@ -185,13 +217,14 @@ class DeviceFeed:
         self.in_dim = int(store.input_dim)
         self.out_dim: Optional[int] = None
         self.inputs_tbl = _upload_table(store.inputs, len(store), total,
-                                        store.input_dim, dtype, chunk_bytes)
+                                        store.input_dim, dtype, chunk_bytes,
+                                        mesh)
         self.labels_tbl: Optional[jnp.ndarray] = None
         if store.has_labels:
             self.out_dim = int(store.output_dim)
             self.labels_tbl = _upload_table(store.labels, len(store), total,
                                             store.output_dim, dtype,
-                                            chunk_bytes)
+                                            chunk_bytes, mesh)
 
     @property
     def num_bytes(self) -> int:
@@ -202,4 +235,174 @@ class DeviceFeed:
 
     def plan(self, indices) -> Tuple[np.ndarray, np.ndarray]:
         ix = np.asarray(indices, np.int64)
+        return self.starts[ix], self.lengths[ix]
+
+
+class RotatingDeviceFeed:
+    """Resident-shard rotation for corpora beyond the HBM budget.
+
+    The reference regime trains ~100 h (~36 M frames,
+    run_gan_rnn_placeholder.sh:11,163-165) — ~37 GB of tile-padded bf16
+    tables against 15.75 GB of HBM. Instead of falling back to the ~30x
+    slower host feed, the corpus is partitioned (seeded permutation, so
+    shard composition is unbiased) into K utterance shards whose tables
+    fit the budget; training visits shards in residencies of one or more
+    passes (cli/train.py --feed_rotation_block) and re-fills the SAME
+    donated table buffers at each rotation — every shard shares one
+    table shape (max shard rows + 1), so all rotations reuse one
+    compiled program set and no 2x-table transient exists.
+
+    With ``prefetch=True`` two buffer sets ping-pong: a daemon thread
+    uploads the next shard while the chip trains on the current one
+    (shards are half-budget so both fit). On links where transfer and
+    execution overlap, rotation cost approaches max(upload, compute)
+    instead of their sum.
+
+    Block-rotation semantics: within a residency the shard is fully
+    shuffled per pass; across the run every shard receives exactly
+    ``epochs`` passes. This is block-shuffled SGD — the same trade the
+    reference already makes with its capacity-bounded TF queue shuffle
+    (tfrecords_io.py shuffle batching), not a new approximation class.
+    """
+
+    def __init__(self, store: UtteranceStore, dtype, budget_bytes: int,
+                 mesh=None, chunk_bytes: int = _DEFAULT_CHUNK_BYTES,
+                 seed: int = 777, prefetch: bool = False):
+        if not store.has_labels:
+            raise ValueError("RotatingDeviceFeed is a training feed; "
+                             "test stores decode via infer_batches")
+        self.store = store
+        self.dtype = dtype
+        self.mesh = mesh
+        self.chunk_bytes = chunk_bytes
+        self.in_dim = int(store.input_dim)
+        self.out_dim = int(store.output_dim)
+        lens = store.lengths.astype(np.int64)
+        itemsize = jnp.dtype(dtype).itemsize
+        bpf = (pad_dim(self.in_dim) + pad_dim(self.out_dim)) * itemsize
+        n_buffers = 2 if prefetch else 1
+        cap_rows = budget_bytes // (bpf * n_buffers) - 1
+        if cap_rows < int(lens.max()):
+            raise ValueError(
+                f"HBM budget {budget_bytes / 1e9:.1f} GB fits only "
+                f"{cap_rows} frames per shard buffer — less than the "
+                f"longest utterance ({int(lens.max())})")
+        perm = np.random.default_rng(seed).permutation(len(lens))
+        shards, cur, cur_rows = [], [], 0
+        for i in perm:
+            if cur_rows + lens[i] > cap_rows:
+                shards.append(np.asarray(cur, np.int64))
+                cur, cur_rows = [], 0
+            cur.append(int(i))
+            cur_rows += int(lens[i])
+        if cur:
+            shards.append(np.asarray(cur, np.int64))
+        self.shards = shards
+        self._shard_rows = [int(lens[s].sum()) for s in shards]
+        self.max_rows = max(self._shard_rows)
+        # local plans per shard, aligned with each shard's utterance order
+        self._local = []
+        for s in shards:
+            sl = lens[s]
+            st = np.zeros(len(sl), np.int64)
+            np.cumsum(sl[:-1], out=st[1:])
+            self._local.append((st.astype(np.int32), sl.astype(np.int32)))
+        self._bufs = [self._alloc() for _ in range(n_buffers)]
+        self._active_buf = 0
+        self._active_shard: Optional[int] = None
+        self._thread = None
+        self._thread_target: Optional[int] = None
+        self.upload_secs = 0.0
+        self.uploads = 0
+        self.starts: Optional[np.ndarray] = None
+        self.lengths: Optional[np.ndarray] = None
+        self.inputs_tbl: Optional[jnp.ndarray] = None
+        self.labels_tbl: Optional[jnp.ndarray] = None
+
+    @property
+    def num_shards(self) -> int:
+        return len(self.shards)
+
+    def _alloc(self):
+        return [_make_table(self.max_rows, self.in_dim, self.dtype,
+                            self.mesh),
+                _make_table(self.max_rows, self.out_dim, self.dtype,
+                            self.mesh)]
+
+    def _fill(self, buf_i: int, k: int) -> None:
+        import time
+        t0 = time.monotonic()
+        rows, ix = self._shard_rows[k], self.shards[k]
+        buf = self._bufs[buf_i]
+        buf[0] = _fill_table(buf[0], self.store.inputs, ix, rows,
+                             self.chunk_bytes, self.mesh)
+        buf[1] = _fill_table(buf[1], self.store.labels, ix, rows,
+                             self.chunk_bytes, self.mesh)
+        # sync so upload_secs measures the transfer, not dispatch
+        jax.block_until_ready(buf[1])
+        self.upload_secs += time.monotonic() - t0
+        self.uploads += 1
+
+    def _activate(self, buf_i: int, k: int) -> None:
+        self._active_buf, self._active_shard = buf_i, k
+        self.inputs_tbl, self.labels_tbl = self._bufs[buf_i]
+        self.starts, self.lengths = self._local[k]
+
+    def ensure_resident(self, k: int) -> None:
+        """Make shard ``k`` the active table set (blocking)."""
+        if self._active_shard == k:
+            return
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+            if self._thread_target == k:
+                self._activate(1 - self._active_buf, k)
+                return
+        dst = self._active_buf if len(self._bufs) == 1 \
+            else 1 - self._active_buf
+        self._fill(dst, k)
+        self._activate(dst, k)
+
+    def start_prefetch(self, k: int) -> None:
+        """Begin uploading shard ``k`` into the inactive buffer set on a
+        daemon thread (no-op without prefetch buffers, when ``k`` is
+        already resident, or while a prefetch is in flight)."""
+        if (len(self._bufs) == 1 or k == self._active_shard
+                or self._thread is not None):
+            return
+        import threading
+        self._thread_target = k
+        self._thread = threading.Thread(
+            target=self._fill, args=(1 - self._active_buf, k), daemon=True)
+        self._thread.start()
+
+    def schedule(self, epochs: int, block: int, seed: int = 0):
+        """Residency plan [(shard, passes)]: every shard gets exactly
+        ``epochs`` passes, in residencies of up to ``block`` consecutive
+        passes, cycling shards in per-cycle shuffled order."""
+        rng = np.random.default_rng(seed)
+        remaining = np.full(self.num_shards, int(epochs), np.int64)
+        visits = []
+        while remaining.any():
+            for k in rng.permutation(self.num_shards):
+                if remaining[k] <= 0:
+                    continue
+                p = int(min(block, remaining[k]))
+                visits.append((int(k), p))
+                remaining[k] -= p
+        return visits
+
+    @property
+    def num_bytes(self) -> int:
+        n = 0
+        for buf in self._bufs:
+            for t in buf:
+                n += t.size * t.dtype.itemsize
+        return int(n)
+
+    def plan(self, view_indices) -> Tuple[np.ndarray, np.ndarray]:
+        """(starts, lengths) local to the ACTIVE shard; ``view_indices``
+        are positions within the shard (what a SequenceBatcher over
+        ``StoreView(store, feed.shards[k])`` yields)."""
+        ix = np.asarray(view_indices, np.int64)
         return self.starts[ix], self.lengths[ix]

@@ -147,6 +147,53 @@ class UtteranceStore:
         return e["id"], self.inputs(i), self.labels(i)
 
 
+class StoreView:
+    """Subset of an UtteranceStore by utterance index — the store
+    interface SequenceBatcher/DeviceFeed need, over ``indices`` of the
+    parent. Used by the rotating device feed to batch one resident shard
+    at a time (data/device_feed.py RotatingDeviceFeed); views share the
+    parent's mmaps, so they cost only the index array."""
+
+    def __init__(self, store, indices):
+        self._store = store
+        self._ix = np.asarray(indices, dtype=np.int64)
+        self._lengths = store.lengths[self._ix]
+        ids = store.utt_ids
+        self._utt_ids = [ids[i] for i in self._ix]
+
+    def __len__(self) -> int:
+        return len(self._ix)
+
+    @property
+    def utt_ids(self) -> List[str]:
+        return self._utt_ids
+
+    @property
+    def lengths(self) -> np.ndarray:
+        return self._lengths
+
+    @property
+    def has_labels(self) -> bool:
+        return self._store.has_labels
+
+    @property
+    def input_dim(self) -> int:
+        return self._store.input_dim
+
+    @property
+    def output_dim(self) -> Optional[int]:
+        return self._store.output_dim
+
+    def inputs(self, i: int) -> np.ndarray:
+        return self._store.inputs(int(self._ix[i]))
+
+    def labels(self, i: int) -> Optional[np.ndarray]:
+        return self._store.labels(int(self._ix[i]))
+
+    def __getitem__(self, i: int):
+        return self._store[int(self._ix[i])]
+
+
 def read_rt60_scp(rt60_scp: str) -> dict:
     """Read an ``utt_id rt60`` scalar table (make_tfrecords_rta.py)."""
     table = {}
