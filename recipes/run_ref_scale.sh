@@ -206,8 +206,12 @@ fi
 
 if [ "$stop_stage" -lt 8 ]; then echo "stopped at stop_stage=$stop_stage"; exit 0; fi
 echo "== stage 8: table =="
+gate_rc=0
 ABLATION_MIN_ESTOI_DELTA=-1 ABLATION_MAX_LSD_RATIO=0.9 \
 python tools/ablation_table.py "$workdir" \
-  --train_dir="$train_dir" --gan_dir="$gan_dir" --mse_dir="$mse_dir"
+  --train_dir="$train_dir" --gan_dir="$gan_dir" --mse_dir="$mse_dir" \
+  || gate_rc=$?
+# rename BEFORE propagating a gate failure, so the artifacts always land
 mv $workdir/ablation.md $workdir/ref_scale.md 2>/dev/null || true
 mv $workdir/ablation.json $workdir/ref_scale.json 2>/dev/null || true
+exit $gate_rc
