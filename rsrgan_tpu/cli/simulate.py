@@ -44,6 +44,12 @@ def main(argv=None) -> int:
     p.add_argument("--shift_output", default="true")
     p.add_argument("--normalize_output", default="true")
     p.add_argument("--random_seed", type=int, default=1)
+    p.add_argument("--overwrite", action="store_true",
+                   help="re-corrupt utterances whose output wav already "
+                        "exists (default: skip them, so an interrupted "
+                        "run resumes; note skipped utterances do not "
+                        "consume RNG draws, so a resumed run's remaining "
+                        "corruptions differ from a fresh run's)")
     args = p.parse_args(argv)
 
     def bounds(s):
@@ -63,9 +69,6 @@ def main(argv=None) -> int:
         normalize_output=str(args.normalize_output).lower() == "true",
         seed=args.random_seed)
 
-    from rsrgan_tpu.tunnel import ensure_device_up
-    ensure_device_up()  # the jitted FFT convolve touches the default device
-
     rooms = parse_rir_list(args.rir_list) if args.rir_list else []
     pointsource, iso_noise_dict = (parse_noise_list(args.noise_list)
                                    if args.noise_list else ([], {}))
@@ -80,25 +83,31 @@ def main(argv=None) -> int:
             wav_cache[path] = read_wav(path)[0]
         return wav_cache[path]
 
-    count = 0
+    count = skipped = 0
     with open(out_scp, "w") as scp:
         with open(args.wav_scp) as f:
             entries = [line.strip().split(None, 1) for line in f
                        if line.strip()]
         for rep in range(1, args.num_replications + 1):
             for utt_id, wav_path in entries:
+                rvb_id = (f"rvb{rep}_{utt_id}"
+                          if args.num_replications > 1 else utt_id)
+                out_path = os.path.join(args.output_dir, rvb_id + ".wav")
+                if (not args.overwrite and os.path.exists(out_path)
+                        and os.path.getsize(out_path) > 44):
+                    scp.write(f"{rvb_id} {out_path}\n")
+                    skipped += 1
+                    continue
                 speech, rate = read_wav(wav_path)
                 opts.sample_rate = rate
                 corrupted = corrupt_utterance(speech, rooms, pointsource,
                                               iso_noise_dict, opts,
                                               rng, cached_read)
-                rvb_id = (f"rvb{rep}_{utt_id}"
-                          if args.num_replications > 1 else utt_id)
-                out_path = os.path.join(args.output_dir, rvb_id + ".wav")
                 write_wav(out_path, corrupted, rate)
                 scp.write(f"{rvb_id} {out_path}\n")
                 count += 1
-    print(f"Corrupted {count} utterances -> {out_scp}")
+    print(f"Corrupted {count} utterances ({skipped} already present) "
+          f"-> {out_scp}")
     return 0
 
 

@@ -32,7 +32,8 @@ reverberate/run.sh:25-64):
   probability not drawn), the basis is the current mixture's power at mix
   time and no global renormalization runs, as before.
 
-The convolutions run as one jitted rFFT multiply; corpus generation is an
+The convolutions run as host rFFT multiplies (see ``fft_convolve`` for
+why the accelerator is deliberately NOT used); corpus generation is an
 embarrassingly parallel host loop over utterances.
 """
 
@@ -42,8 +43,6 @@ import functools
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 
@@ -183,32 +182,24 @@ def pick_item_with_probability(rng: np.random.Generator, items):
 # DSP
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _fft_convolve_padded(signal: jnp.ndarray,
-                         kernel: jnp.ndarray) -> jnp.ndarray:
-    """Circular convolution of two same-length (power-of-two) buffers.
-
-    Inputs are zero-padded on the host to the next power of two >= the
-    linear-convolution length, so the circular result equals the linear
-    one. Shapes are bucketed to powers of two -> ONE compile per bucket
-    instead of one per utterance length (compiles cost ~10s+ on this
-    host's remote-compile path).
-    """
-    nfft = signal.shape[0]
-    return jnp.fft.irfft(jnp.fft.rfft(signal) * jnp.fft.rfft(kernel), nfft)
-
-
 def fft_convolve(signal: np.ndarray, kernel: np.ndarray,
                  out_len: Optional[int] = None) -> np.ndarray:
+    """Linear convolution via a power-of-two zero-padded rFFT, on the HOST.
+
+    This deliberately does NOT run on the accelerator: corpus corruption
+    touches every utterance exactly once, so a device version pays a
+    full host->device->host round trip per convolution. Over the remote
+    tunnel (~25 ms dispatch, ~30 MB/s wire) that made simulation
+    device-bound at ~4 utts/s, and the per-call transfer buffers
+    (~1.6 MB/utt) accumulated host-side without bound — a 104k-utt run
+    grew past 65 GB RSS. numpy's double-precision rFFT is a few ms per
+    131072-point buffer and strictly more accurate.
+    """
     n = len(signal) + len(kernel) - 1
     out_len = out_len or n
     nfft = 1 << (n - 1).bit_length()
-    sp = np.zeros(nfft, np.float32)
-    sp[:len(signal)] = signal
-    kp = np.zeros(nfft, np.float32)
-    kp[:len(kernel)] = kernel
-    full = np.asarray(_fft_convolve_padded(jnp.asarray(sp),
-                                           jnp.asarray(kp)))[:n]
+    full = np.fft.irfft(np.fft.rfft(signal, nfft) * np.fft.rfft(kernel, nfft),
+                        nfft)[:n].astype(np.float32)
     return full[:out_len]
 
 

@@ -380,6 +380,50 @@ class TestPlacementSemantics:
         stats = read_kaldi_cmvn(os.path.join(feats_dir, "inputs.cmvn"))
         assert stats.shape == (2, 258)
 
+    def test_simulate_resumes_existing_outputs(self, tmp_path, rng, capsys):
+        """An interrupted corruption run resumes: existing output wavs are
+        kept byte-identical (not recomputed), missing ones are produced,
+        and the rewritten wav.scp covers the full corpus. --overwrite
+        recomputes everything."""
+        wav_dir = tmp_path / "wavs"
+        os.makedirs(wav_dir)
+        scp = tmp_path / "wav.scp"
+        lines = []
+        for i in range(4):
+            w = (rng.normal(size=8000) * 3000).astype(np.float32)
+            p = str(wav_dir / f"u{i}.wav")
+            write_wav(p, w)
+            lines.append(f"u{i} {p}")
+        scp.write_text("\n".join(lines) + "\n")
+        rir = np.zeros(64, np.float32)
+        rir[5] = 1.0
+        write_wav(str(tmp_path / "rir.wav"), rir * 30000)
+        (tmp_path / "rir_list").write_text(
+            f"--rir-id r0 --room-id A {tmp_path}/rir.wav\n")
+
+        from rsrgan_tpu.cli import simulate
+        out_dir = str(tmp_path / "rvb")
+        args = [f"--wav_scp={scp}", f"--rir_list={tmp_path}/rir_list",
+                f"--output_dir={out_dir}"]
+        assert simulate.main(args) == 0
+        assert "Corrupted 4 utterances (0 already present)" in \
+            capsys.readouterr().out
+        scp_out = os.path.join(out_dir, "wav.scp")
+        full = open(scp_out).read()
+        kept = open(os.path.join(out_dir, "u1.wav"), "rb").read()
+        os.remove(os.path.join(out_dir, "u2.wav"))
+        assert simulate.main(args) == 0
+        assert "Corrupted 1 utterances (3 already present)" in \
+            capsys.readouterr().out
+        assert open(scp_out).read() == full
+        assert open(os.path.join(out_dir, "u1.wav"), "rb").read() == kept
+        assert os.path.getsize(os.path.join(out_dir, "u2.wav")) > 44
+        assert simulate.main(args + ["--overwrite"]) == 0
+        assert "Corrupted 4 utterances (0 already present)" in \
+            capsys.readouterr().out
+        # same seed + full recompute -> byte-deterministic corruption
+        assert open(os.path.join(out_dir, "u1.wav"), "rb").read() == kept
+
 
 class TestExtractEdgeCases:
     def test_exact_frame_pad_multiple_with_tail(self, tmp_path, rng):
