@@ -84,6 +84,103 @@ class JitExtractor:
         return np.asarray(feats)[:n_frames]
 
 
+class BatchedJitExtractor:
+    """Batches same-padded-length waves into fixed [B, T] stacks so ONE
+    device dispatch serves B utterances.
+
+    On the remote-tunnel device path the per-call dispatch latency
+    (~25 ms) dominates single-utterance extraction — a 104k-utterance
+    corpus pays hours of pure dispatch. Stacking amortizes it B-fold
+    while keeping the compile-shape budget identical: partial batches are
+    zero-padded to the same [B, T] stack, so each (dtype, length) bucket
+    still compiles exactly one program. Waves whose samples are exact
+    int16 values (all PCM wavs) ride the wire as int16 and are cast to
+    float32 on device, halving upload bytes losslessly.
+
+    Results are handed back as (ticket, feats) pairs as their batch
+    completes; the caller reorders. Per-utterance dither keys match the
+    unbatched path (PRNGKey(seed) per row), and tests pin batched ==
+    unbatched features.
+    """
+
+    def __init__(self, feat_type: str, frame_opts: FrameOptions,
+                 use_dither: bool, batch: int):
+        import jax
+
+        self.jax = jax
+        self.feat_type = feat_type
+        self.frame_opts = frame_opts
+        self.use_dither = use_dither
+        self.batch = batch
+        self.dim = 257 if feat_type == "spectrogram" else 40
+        self._bufs = {}  # (padded_samples, wire_dtype) -> [(ticket, wave, n_frames, seed)]
+
+    @functools.lru_cache(maxsize=None)
+    def _fn(self, padded_samples: int, wire_dtype: str):
+        jax = self.jax
+        if self.feat_type == "spectrogram":
+            opts = SpectrogramOptions(self.frame_opts)
+            compute = compute_spectrogram
+        else:
+            opts = MfccOptions(frame_opts=self.frame_opts)
+            compute = compute_mfcc
+
+        def one(w, seed):
+            w = w.astype("float32")
+            if self.use_dither:
+                return compute(w, opts, jax.random.PRNGKey(seed))
+            return compute(w, opts)
+
+        return jax.jit(jax.vmap(one))
+
+    def add(self, ticket: int, wave: np.ndarray, seed: int):
+        """Queue one wave; returns [(ticket, feats)] completed by this add."""
+        opts = self.frame_opts
+        n_frames = num_frames(len(wave), opts)
+        if n_frames == 0:
+            return [(ticket, np.zeros((0, self.dim), np.float32))]
+        pad_frames = -(-n_frames // FRAME_PAD) * FRAME_PAD
+        padded_samples = opts.window_size + opts.window_shift * (
+            pad_frames - 1)
+        n_copy = min(len(wave), padded_samples)
+        wire = "float32"
+        w = wave[:n_copy]
+        if (np.all(np.abs(w) <= 32767.0)
+                and np.array_equal(w, np.trunc(w))):
+            wire = "int16"
+        padded = np.zeros(padded_samples, wire)
+        padded[:n_copy] = w
+        key = (padded_samples, wire)
+        buf = self._bufs.setdefault(key, [])
+        buf.append((ticket, padded, n_frames, seed))
+        if len(buf) == self.batch:
+            return self._flush(key)
+        return []
+
+    def _flush(self, key):
+        entries = self._bufs.pop(key, [])
+        if not entries:
+            return []
+        padded_samples, wire = key
+        stack = np.zeros((self.batch, padded_samples), wire)
+        seeds = np.zeros((self.batch,), np.int32)
+        for i, (_, padded, _, seed) in enumerate(entries):
+            stack[i] = padded
+            seeds[i] = seed
+        out = np.asarray(self._fn(padded_samples, wire)(stack, seeds))
+        return [(t, out[i, :nf].copy())
+                for i, (t, _, nf, _) in enumerate(entries)]
+
+    def flush_all(self):
+        done = []
+        for key in sorted(self._bufs):
+            done.extend(self._flush(key))
+        return done
+
+    def pending_count(self) -> int:
+        return sum(len(b) for b in self._bufs.values())
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="rsrgan_tpu.cli.extract")
     p.add_argument("--wav_scp", required=True)
@@ -100,6 +197,9 @@ def main(argv=None) -> int:
                         "(copy-feats --compress=true equivalent)")
     p.add_argument("--text", action="store_true",
                    help="write a Kaldi TEXT archive (ark,t: equivalent)")
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="utterances per device dispatch (1 = legacy "
+                        "single-utterance path)")
     args = p.parse_args(argv)
 
     from rsrgan_tpu.tunnel import ensure_device_up
@@ -112,21 +212,56 @@ def main(argv=None) -> int:
     writer = ArkWriter(scp_path, compress=args.compress, text=args.text)
     acc = None
 
-    extractor = JitExtractor(args.feat_type, frame_opts, args.dither > 0)
-
     with open(args.wav_scp) as f:
         entries = [line.strip().split(None, 1) for line in f if line.strip()]
-    for idx, (utt_id, wav_path) in enumerate(entries):
-        wave, rate = read_wav(wav_path)
-        if rate != frame_opts.samp_freq:
-            print(f"WARNING: {utt_id} rate {rate} != "
-                  f"{frame_opts.samp_freq:g}", file=sys.stderr)
-        feats = extractor(wave, args.dither_seed + idx)
-        if acc is None and args.accumulate_cmvn:
-            acc = CmvnAccumulator(feats.shape[1])
-        if acc is not None:
-            acc.accumulate(feats)
-        writer.write_next_utt(ark_path, utt_id, feats)
+
+    # Batches complete out of order (one bucket per padded length); the
+    # ark/scp/CMVN must land in corpus order so the three extraction
+    # passes' scp files stay line-aligned for `prepare split`'s zip.
+    pending = {}
+    next_write = 0
+
+    def drain():
+        nonlocal next_write, acc
+        while next_write in pending:
+            feats = pending.pop(next_write)
+            if acc is None and args.accumulate_cmvn:
+                acc = CmvnAccumulator(feats.shape[1])
+            if acc is not None:
+                acc.accumulate(feats)
+            writer.write_next_utt(ark_path, entries[next_write][0], feats)
+            next_write += 1
+
+    if args.batch_size > 1:
+        extractor = BatchedJitExtractor(args.feat_type, frame_opts,
+                                        args.dither > 0, args.batch_size)
+        for idx, (utt_id, wav_path) in enumerate(entries):
+            wave, rate = read_wav(wav_path)
+            if rate != frame_opts.samp_freq:
+                print(f"WARNING: {utt_id} rate {rate} != "
+                      f"{frame_opts.samp_freq:g}", file=sys.stderr)
+            for t, feats in extractor.add(idx, wave, args.dither_seed + idx):
+                pending[t] = feats
+            # a rare-length bucket can stall the in-order writer while
+            # completed batches pile up; bound the buffer
+            if len(pending) + extractor.pending_count() > 512:
+                for t, feats in extractor.flush_all():
+                    pending[t] = feats
+            drain()
+        for t, feats in extractor.flush_all():
+            pending[t] = feats
+        drain()
+        assert next_write == len(entries), \
+            f"wrote {next_write} of {len(entries)} utterances"
+    else:
+        extractor = JitExtractor(args.feat_type, frame_opts, args.dither > 0)
+        for idx, (utt_id, wav_path) in enumerate(entries):
+            wave, rate = read_wav(wav_path)
+            if rate != frame_opts.samp_freq:
+                print(f"WARNING: {utt_id} rate {rate} != "
+                      f"{frame_opts.samp_freq:g}", file=sys.stderr)
+            pending[idx] = extractor(wave, args.dither_seed + idx)
+            drain()
     writer.close()
     if acc is not None:
         cmvn_path = os.path.join(args.output_dir, args.name + ".cmvn")

@@ -426,6 +426,36 @@ class TestPlacementSemantics:
 
 
 class TestExtractEdgeCases:
+    def test_batched_extractor_matches_single(self, rng):
+        """BatchedJitExtractor == JitExtractor per utterance (same dither
+        keys, same features) across mixed lengths, partial tail batches,
+        and both wire dtypes (int16-exact PCM vs float)."""
+        from rsrgan_tpu.cli.extract import BatchedJitExtractor, JitExtractor
+        from rsrgan_tpu.features import FrameOptions
+        opts = FrameOptions(dither=1.0)
+        waves = []
+        for i in range(7):
+            n = int(rng.integers(20000, 70000))
+            w = np.round(rng.normal(size=n) * 3000).astype(np.float32)
+            if i == 3:
+                w += 0.25  # non-integral samples -> float32 wire
+            waves.append(w)
+        for use_dither in (False, True):
+            single = JitExtractor("spectrogram", opts, use_dither)
+            batched = BatchedJitExtractor("spectrogram", opts, use_dither,
+                                          batch=3)
+            got = {}
+            for i, w in enumerate(waves):
+                for t, f in batched.add(i, w, 100 + i):
+                    got[t] = f
+            for t, f in batched.flush_all():
+                got[t] = f
+            assert sorted(got) == list(range(7))
+            for i, w in enumerate(waves):
+                np.testing.assert_allclose(
+                    got[i], single(w, 100 + i), rtol=2e-5, atol=2e-4,
+                    err_msg=f"utt {i} dither={use_dither}")
+
     def test_exact_frame_pad_multiple_with_tail(self, tmp_path, rng):
         """Wave whose frame count is an exact FRAME_PAD multiple but with
         trailing samples beyond the last frame (used to crash)."""
