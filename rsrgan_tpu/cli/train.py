@@ -693,21 +693,32 @@ def run_sequence_training(args) -> int:
             f"{_fmt(tr_m, metric_keys)}\n"
             f"{iteration + 1}/{n_iterations} (CROSS AVG.LOSS): "
             f"{_fmt(cv_m, metric_keys)}")
-        tr_writer.write(iteration + 1,
-                        {**tr_m, "train_frames_per_sec": fps})
+        tr_row = {**tr_m, "train_frames_per_sec": fps,
+                  "g_lr": float(hp["g_lr"]), "d_lr": float(hp["d_lr"])}
+        if rotating:
+            tr_row["eff_epoch"] = eff_epoch
+        tr_writer.write(iteration + 1, tr_row)
         cv_writer.write(iteration + 1, cv_m)
         profiler.stop()
 
-        # schedules (train_gan_rnn_placeholder.py:524-533); under rotation
-        # decay advances by effective corpus epochs, not residencies
-        sched_t = eff_epoch if rotating else iteration + 1
-        hp["g_lr"] = jnp.float32(exponential_decay(
-            sched_t, num_devices, min_iters, args.g_learning_rate))
-        hp["d_lr"] = jnp.float32(exponential_decay(
-            sched_t, num_devices, min_iters, args.d_learning_rate))
-        hp["disc_noise_std"] = jnp.float32(exponential_decay(
-            sched_t, num_devices, min_iters,
-            args.init_disc_noise_std, multiply_jobs=False))
+        # schedules (train_gan_rnn_placeholder.py:524-533). The reference
+        # staircase: epoch 1 runs at the init values (assigned before the
+        # loop, :458-461) and epoch k >= 2 at decay(k-1) on COMPLETED
+        # epochs. Under rotation a residency boundary can fall mid-epoch,
+        # so advance by whole effective corpus epochs (floor) and keep
+        # the init values until the first full epoch completes —
+        # feeding a fractional epoch into decay() would trip its
+        # `iteration + 1 >= num_iters` clause and snap a 1-epoch warm-up
+        # to the final value after the first residency.
+        sched_t = int(eff_epoch) if rotating else iteration + 1
+        if sched_t >= 1:
+            hp["g_lr"] = jnp.float32(exponential_decay(
+                sched_t, num_devices, min_iters, args.g_learning_rate))
+            hp["d_lr"] = jnp.float32(exponential_decay(
+                sched_t, num_devices, min_iters, args.d_learning_rate))
+            hp["disc_noise_std"] = jnp.float32(exponential_decay(
+                sched_t, num_devices, min_iters,
+                args.init_disc_noise_std, multiply_jobs=False))
 
         tracker.add(cv_m["g_loss"])
         if tracker.check(iteration):

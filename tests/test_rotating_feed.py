@@ -321,13 +321,17 @@ class TestCliRotation:
         block mode redefines iterations as residencies."""
         from rsrgan_tpu.cli import train as train_cli
         data_dir = _build_corpus(tmp_path)
-        # tr is 9 utts x ~45 frames x (128+128) x 4 B ~= 420 kB; cv ~3 utts
-        # ~= 140 kB. 300 kB forces K>=2 train shards after the cv reserve.
-        monkeypatch.setenv("RSRGAN_FEED_HBM_BUDGET", "300000")
+        # tr is 9 utts x ~45 frames x (128+128) cols ~= 420 kB f32 /
+        # 210 kB bf16; cv ~3 utts ~= 140 kB / 70 kB. The budget must beat
+        # the AUTO-DTYPE rescue: at 300 kB decide_device_feed demotes to
+        # bf16 tables which then FIT (no rotation). 150 kB forces K>=2
+        # train shards even at bf16.
+        monkeypatch.setenv("RSRGAN_FEED_HBM_BUDGET", "150000")
         rows = _run_train(data_dir, str(tmp_path / "exp_rot"), [
             "--batch_size=2", "--device_feed=on",
             "--min_epoches=1", "--max_epoches=2", "--steps_per_call=2"])
-        assert len(rows) >= 2  # epoch-major: K shards per iteration
+        # iteration == residency: K>=2 shards x 2 epochs at block=1
+        assert len(rows) >= 4, f"rotation did not engage: {len(rows)} rows"
         assert all(np.isfinite(r["g_loss"]) for r in rows)
 
         rows_blk = _run_train(data_dir, str(tmp_path / "exp_blk"), [
@@ -337,6 +341,32 @@ class TestCliRotation:
         # block=2, epochs=2 -> one residency per shard, K iterations
         assert len(rows_blk) >= 2
         assert all(np.isfinite(r["g_loss"]) for r in rows_blk)
+
+    def test_rotation_lr_staircase(self, tmp_path, monkeypatch):
+        """lr decay under rotation follows the reference staircase on
+        COMPLETED corpus epochs (train_gan_rnn_placeholder.py:458-461,
+        524-533): every residency inside epoch 1 trains at the init lr
+        (a 1-epoch warm-up must not decay mid-epoch), and epoch 2 of a
+        min_epoches=1 run trains at the final value (1e-4 x init)."""
+        data_dir = _build_corpus(tmp_path)
+        monkeypatch.setenv("RSRGAN_FEED_HBM_BUDGET", "150000")
+        save = str(tmp_path / "exp_lr")
+        _run_train(data_dir, save, [
+            "--batch_size=2", "--device_feed=on",
+            "--min_epoches=1", "--max_epoches=2", "--steps_per_call=2"])
+        with open(os.path.join(save, "metrics_train.jsonl")) as f:
+            rows = [json.loads(line) for line in f]
+        assert "eff_epoch" in rows[0], "rotation did not engage"
+        # residencies are sub-epoch (K >= 2 shards at block=1)
+        assert rows[0]["eff_epoch"] < 1.0, rows[0]
+        assert rows[-1]["eff_epoch"] > 1.0, "never reached epoch 2"
+        # lr used in residency i = staircase value of the epochs
+        # COMPLETED before it started (min_iters=1 -> final = 1e-4 x init)
+        prev_eff = 0.0
+        for r in rows:
+            want = 0.0005 if int(prev_eff) < 1 else 0.0005 * 1e-4
+            assert r["g_lr"] == pytest.approx(want), (prev_eff, r)
+            prev_eff = r["eff_epoch"]
 
     def test_dp_feed_equals_single_device_cli(self, tmp_path):
         """--num_gpu=2 --batch_size=1 with the device feed must match
