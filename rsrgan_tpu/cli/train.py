@@ -176,7 +176,8 @@ def build_trainer(args, compute_dtype):
                           disc_updates=args.disc_updates,
                           gen_updates=args.gen_updates,
                           l2_scale=args.l2_scale, max_grad_norm=15.0,
-                          g_optimizer="adam", d_optimizer="sgd")
+                          g_optimizer="adam", d_optimizer="sgd",
+                          d_conditioned=args.d_conditioned)
     if args.trainer == "gan_dnn":
         disc = get_discriminator("dnn", keep_prob=args.keep_prob)
         return GanTrainer(gen, disc, output_dim=args.output_dim,
@@ -228,7 +229,12 @@ def ckpt_meta(args) -> dict:
     return {"trainer": args.trainer, "g_type": args.g_type,
             "input_dim": args.input_dim, "output_dim": args.output_dim,
             "left_context": args.left_context,
-            "right_context": args.right_context}
+            "right_context": args.right_context,
+            # effective D conditioning (gan_dnn is always conditioned,
+            # gan.py:159-182); decode never builds D, but a resume with
+            # the wrong D input width should be explicable from the sidecar
+            "d_conditioned": args.trainer == "gan_dnn"
+            or bool(getattr(args, "d_conditioned", False))}
 
 
 def make_hparams(args, num_devices: int):
@@ -1158,6 +1164,16 @@ def build_parser() -> argparse.ArgumentParser:
                    help="upload the next shard on a background thread "
                         "while training on the current one (rotation "
                         "only; doubles shard buffers, halves shard size)")
+    p.add_argument("--d_conditioned", type=str2bool, nargs="?", const=True,
+                   default=False,
+                   help="sequence GAN (gan_rnn): condition D on "
+                        "concat(center input frame, labels/G output) — "
+                        "the joint discriminator the reference sketched "
+                        "but left commented out "
+                        "(gan_rnn_placeholder.py:192-213); default False "
+                        "matches its active unconditioned D. The frame "
+                        "GAN (gan_dnn) is always conditioned, as "
+                        "upstream (gan.py:159-182)")
     p.add_argument("--same_batch", type=str2bool, nargs="?", const=True, default=True,
                    help="True: placeholder-trainer semantics (D and G on "
                         "the same minibatch); False: graph-fed semantics "

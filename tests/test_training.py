@@ -211,6 +211,57 @@ class TestGanTrainer:
                                             jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["g_loss"]))
 
+    def test_sequence_gan_conditioned(self, rng):
+        """Sequence-mode conditioned D: the joint discriminator the
+        reference sketched but left commented out
+        (gan_rnn_placeholder.py:192-213 — d_joint = concat(slice(inputs,
+        input_dim*left_context, input_dim), labels/G, axis=-1))."""
+        trainer = tiny_gan_trainer(d_conditioned=True)
+        x, y, lengths = make_batch(rng)
+        # _d_input reproduces the commented-out construction exactly
+        joined = trainer._d_input(x, y)
+        np.testing.assert_array_equal(np.asarray(joined),
+                                      np.concatenate([np.asarray(x),
+                                                      np.asarray(y)], -1))
+        state = trainer.init_state(jax.random.PRNGKey(0), x, lengths)
+        # D's first-layer combined [x; h] kernel must see
+        # (input_dim + output_dim) + num_projection rows vs the
+        # unconditioned D's output_dim + num_projection
+        def kernel_in_dims(st):
+            return {p.shape[0] for p in jax.tree.leaves(st.d.params)
+                    if p.ndim == 2}
+        proj = 4  # tiny_gan_trainer's LstmDiscriminator num_projection
+        assert D_IN + D_OUT + proj in kernel_in_dims(state)
+        base = tiny_gan_trainer().init_state(jax.random.PRNGKey(0), x,
+                                             lengths)
+        assert D_IN + D_OUT + proj not in kernel_in_dims(base)
+        assert D_OUT + proj in kernel_in_dims(base)
+        state, metrics = trainer.train_step(state, x, y, lengths, HP,
+                                            jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["g_loss"]))
+
+    def test_sequence_gan_conditioned_spliced_center(self, rng):
+        """With splice context the conditioned D sees only the CENTER
+        frame slice (start = input_dim * left_context)."""
+        trainer = tiny_gan_trainer(d_conditioned=True, left_context=1)
+        x3 = jnp.asarray(rng.normal(size=(B, T, 3 * D_IN)), jnp.float32)
+        y = jnp.asarray(rng.normal(size=(B, T, D_OUT)), jnp.float32)
+        joined = trainer._d_input(x3, y)
+        np.testing.assert_array_equal(
+            np.asarray(joined),
+            np.concatenate([np.asarray(x3)[..., D_IN:2 * D_IN],
+                            np.asarray(y)], -1))
+
+    def test_cli_plumbs_d_conditioned(self):
+        from rsrgan_tpu.cli.train import build_parser, build_trainer
+        argv = ["--trainer=gan_rnn", "--g_type=res_lstm_l",
+                "--tr_list_file=x", "--cv_list_file=x", "--save_dir=x",
+                "--input_dim=8", "--output_dim=4"]
+        args = build_parser().parse_args(argv + ["--d_conditioned=true"])
+        assert build_trainer(args, jnp.float32).d_conditioned is True
+        args = build_parser().parse_args(argv)
+        assert build_trainer(args, jnp.float32).d_conditioned is False
+
 
 class TestMseTrainer:
     def test_loss_decreases(self, rng):
