@@ -44,6 +44,12 @@ stage=${stage:-0}
 stop_stage=${stop_stage:-8}   # run stages in [stage, stop_stage]
 seeds=${SEEDS:-777}
 weights=${MSE_WEIGHTS:-10}
+# GAN_COND=1 adds a "gan_cond" system: the flagship schedule with the
+# JOINT conditioned discriminator (--d_conditioned: D sees
+# concat(inputs, labels/G)) that the reference sketched but left
+# commented out (gan_rnn_placeholder.py:192-213) — trained at the first
+# seed / weight 10 and scored as an extra table row.
+gan_cond=${GAN_COND:-0}
 first_seed=$(set -- $seeds; echo "$1")
 train_dir=$workdir/data/train
 # TPU client handoff gap (CLAUDE.md tunnel quirk); raise when CPU-heavy
@@ -171,6 +177,22 @@ if [ "$stage" -le 4 ] && [ "$stop_stage" -ge 4 ]; then
     done
     touch "$dir/DONE"
   done; done
+  if [ "$gan_cond" = "1" ] && [ ! -f "$(sys_dir gan_cond)/DONE" ]; then
+    dir=$(sys_dir gan_cond)
+    echo "-- GAN system gan_cond (conditioned D, mse_weight=10, seed=$first_seed) --"
+    for cfg in "0.001 1 1" "0.0003 $gmin $gmax"; do
+      set -- $cfg
+      sleep $handoff
+      tpu_retry python -m rsrgan_tpu.cli.train \
+        --trainer=gan_rnn $common_flags \
+        --save_dir=$dir --seed=$first_seed --d_conditioned=true \
+        --g_learning_rate=0.00008 --d_learning_rate=$1 \
+        --disc_updates=1 --gen_updates=2 \
+        --init_mse_weight=10 --init_disc_noise_std=0.05 \
+        --min_epoches=$2 --max_epoches=$3
+    done
+    touch "$dir/DONE"
+  fi
 fi
 
 if [ "$stage" -le 5 ] && [ "$stop_stage" -ge 5 ]; then
@@ -198,6 +220,8 @@ all_systems() {  # every trained system: "name trainer dir" lines
   for s in $seeds; do
     echo "$(mse_sys $s) rnn $(sys_dir $(mse_sys $s))"
   done
+  [ "$gan_cond" = "1" ] && echo "gan_cond gan_rnn $(sys_dir gan_cond)"
+  true
 }
 
 if [ "$stage" -le 6 ] && [ "$stop_stage" -ge 6 ]; then
@@ -267,6 +291,8 @@ for s in $seeds; do
   name=$(mse_sys $s)
   [ "$name" = "mse" ] || extra_args+=("--extra=$name:MSE(seed=$s)")
 done
+[ "$gan_cond" = "1" ] && \
+  extra_args+=("--extra=gan_cond:LSGAN+condD(w=10,seed=$first_seed)")
 nseeds=$(set -- $seeds; echo $#)
 if [ "$nseeds" -gt 1 ]; then
   gan_members=$(for s in $seeds; do gan_sys 10 $s; done | paste -sd, -)
